@@ -1,0 +1,75 @@
+"""hysortk_tpu — a TPU-native distributed k-mer counting engine.
+
+A from-scratch JAX/XLA/Pallas redesign with the capabilities of
+CornellHPC/HySortK (ICPP'24), whose C++/MPI/OpenMP reference lives at
+/root/reference. The public facade mirrors the reference library API
+(reference: include/hysortk.hpp:10-16):
+
+    read_dna_buffer       -> read + 2-bit pack a (shard of a) FASTA file
+    kmer_count            -> canonical k-mer counting with [L, U] filtering
+    print_kmer_histogram  -> frequency histogram in the reference format
+    write_output_file     -> per-shard `{kmer}\\t{count}` files
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .config import KmerConfig
+from .pipeline import KmerList, count_flat, count_reads
+from .io import fasta as _fasta
+from .io import writer as _writer
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "KmerConfig",
+    "KmerList",
+    "read_dna_buffer",
+    "kmer_count",
+    "print_kmer_histogram",
+    "write_output_file",
+    "count_flat",
+    "count_reads",
+]
+
+
+def read_dna_buffer(
+    fasta_path: str, shard: int = 0, num_shards: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Read this shard's portion of a FASTA file, 2-bit packed.
+
+    Returns (codes uint8 flat, lengths int64). Facade analogue of
+    hysortk::read_dna_buffer (src/hysortk.cpp:18-34).
+    """
+    records = _fasta.load_or_build_fai(fasta_path)
+    parts = _fasta.partition_records(records, num_shards)
+    mine = [records[i] for i in parts[shard]]
+    return _fasta.read_records(fasta_path, mine)
+
+
+def kmer_count(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    config: Optional[KmerConfig] = None,
+) -> tuple[KmerList, np.ndarray]:
+    """Count canonical k-mers. Facade analogue of hysortk::kmer_count
+    (src/hysortk.cpp:36-95). Returns (filtered KmerList, histogram array)."""
+    cfg = config or KmerConfig()
+    return count_reads(codes, lengths, cfg)
+
+
+def print_kmer_histogram(hist: np.ndarray) -> str:
+    """Render + print the frequency histogram (src/hysortk.cpp:98-136)."""
+    text = _writer.format_histogram(hist)
+    print(text, end="")
+    return text
+
+
+def write_output_file(
+    kmerlist: KmerList, output_dir: str, shard: int = 0
+) -> str:
+    """Write `<outdir>/<shard>.out` (src/hysortk.cpp:138-164)."""
+    return _writer.write_output_file(kmerlist, output_dir, shard)

@@ -1,0 +1,96 @@
+"""Runtime configuration for the TPU k-mer counting engine.
+
+The reference (HySortK) fixes every parameter at compile time via -D macros
+(reference: Makefile:1-46, include/compiletime.h:10-21). Here the parameters
+are a runtime dataclass; `k` and `m` still specialize the jitted kernels
+(each (k, m) pair triggers one trace/compile, the analogue of one `make K=..`
+build of the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+def words_per_kmer(k: int) -> int:
+    """Number of 32-bit words used to pack a k-mer (16 bases / word).
+
+    The reference packs into 64-bit longs, 32 bases per long
+    (reference: include/kmer.hpp:21-28, TKmer select at kmer.hpp:343-345).
+    TPU prefers 32-bit lanes, so we use uint32 words; both layouts are
+    big-endian per base, so lexicographic word order == DNA string order.
+    """
+    return (k + 15) // 16
+
+
+@dataclasses.dataclass(frozen=True)
+class KmerConfig:
+    """All knobs of the pipeline.
+
+    Mirrors the reference's compile-time macro surface
+    (reference: Makefile:39-46, include/compiletime.h):
+      k      <-> KMER_SIZE   (2 < k <= 96)
+      m      <-> MINIMIZER_SIZE (m < k)
+      lower  <-> LOWER_KMER_FREQ
+      upper  <-> UPPER_KMER_FREQ (<= 65535)
+      extension <-> EXTENSION (carry ReadId+PosInRead payloads)
+      avg_buckets_per_shard <-> AVG_TASK_PER_WORKER (virtual-task oversubscription)
+      heavy_ratio <-> UNBALANCED_RATIO (heavy-hitter threshold, 2.3)
+      combiner: always-on local pre-aggregation before exchange, subsuming the
+                reference's heavy-hitter ScatteredKmerList path
+                (reference: src/kmerops.cpp:363-417).
+    """
+
+    k: int = 31
+    m: int = 17
+    lower: int = 15
+    upper: int = 40
+    extension: bool = False
+
+    # Distribution knobs (multi-device path).
+    avg_buckets_per_shard: int = 3
+    heavy_ratio: float = 2.3
+    combiner: bool = False
+
+    # Exchange capacity over-provisioning factor: per-(src,dst) slot capacity is
+    # ceil(n_local / n_shards * capacity_factor). Analogous in spirit to the
+    # reference's DISPATCH_UPPER_COE sweep (reference: Makefile:28-33).
+    capacity_factor: float = 1.6
+
+    # Sort backend: "xla" (lax.sort) or "pallas" (on-chip radix sort).
+    sort_backend: str = "xla"
+
+    # Device batch sizing: flat base-stream padding granularity.
+    pad_multiple: int = 1024
+
+    def __post_init__(self):
+        if not (2 < self.k <= 96):
+            raise ValueError(f"k must be in (2, 96], got {self.k}")
+        if not (0 < self.m < self.k):
+            raise ValueError(f"m must be in (0, k), got m={self.m} k={self.k}")
+        if self.m > 32:
+            raise ValueError(f"m must be <= 32 (2-word minimizers), got {self.m}")
+        if self.lower < 1:
+            raise ValueError(f"lower must be >= 1, got {self.lower}")
+        if not (self.lower <= self.upper <= 65535):
+            raise ValueError(
+                f"need lower <= upper <= 65535, got [{self.lower}, {self.upper}]"
+            )
+        if self.sort_backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown sort backend {self.sort_backend!r}")
+
+    @property
+    def words(self) -> int:
+        """uint32 words per packed k-mer key."""
+        return words_per_kmer(self.k)
+
+    @property
+    def mwords(self) -> int:
+        """uint32 words per packed minimizer (m <= 32 -> at most 2)."""
+        return words_per_kmer(self.m)
+
+    @property
+    def window(self) -> int:
+        """Minimizer window: number of m-mers inside one k-mer."""
+        return self.k - self.m + 1

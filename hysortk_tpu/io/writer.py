@@ -1,0 +1,67 @@
+"""Output writers: per-shard {kmer, count} files and the frequency histogram.
+
+Formats are byte-identical to the reference:
+  * write_output_file (src/hysortk.cpp:138-164): `<outdir>/<shard>.out`, one
+    ASCII `kmer\\tcount` line per entry.
+  * print_kmer_histogram (src/hysortk.cpp:98-136): header `#count\\tnumkmers`,
+    one `count\\tnumkmers` line per nonzero bin (count >= 1), then a blank line.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping, Optional
+
+import numpy as np
+
+from ..pipeline import KmerList
+
+
+def write_output_file(
+    kmerlist: KmerList, output_dir: str, shard: int = 0
+) -> str:
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, f"{shard}.out")
+    decoded = kmerlist.decoded()
+    with open(path, "wb") as f:
+        for kmer, cnt in zip(decoded, kmerlist.counts):
+            f.write(kmer + b"\t" + str(int(cnt)).encode() + b"\n")
+    return path
+
+
+def format_histogram(hist: np.ndarray) -> str:
+    """hist[c] = number of kmers with count c; render the reference's format."""
+    lines = ["#count\tnumkmers"]
+    for c in range(1, len(hist)):
+        if hist[c] > 0:
+            lines.append(f"{c}\t{int(hist[c])}")
+    lines.append("")
+    return "\n".join(lines) + "\n"
+
+
+def parse_histogram(text: str) -> dict[int, int]:
+    """Parse the reference's histogram output into {count: numkmers}."""
+    out: dict[int, int] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        c, n = line.split("\t")
+        out[int(c)] = int(n)
+    return out
+
+
+def parse_output_files(output_dir: str) -> dict[bytes, int]:
+    """Union of all `<shard>.out` files -> {kmer: count} (order-free compare)."""
+    merged: dict[bytes, int] = {}
+    for name in sorted(os.listdir(output_dir)):
+        if not name.endswith(".out"):
+            continue
+        with open(os.path.join(output_dir, name), "rb") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                kmer, cnt = line.rstrip(b"\n").split(b"\t")
+                assert kmer not in merged, f"duplicate kmer across shards: {kmer!r}"
+                merged[kmer] = int(cnt)
+    return merged

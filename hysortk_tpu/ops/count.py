@@ -1,0 +1,107 @@
+"""Run-length counting of sorted keys + [L, U] frequency filter.
+
+TPU-native redesign of the reference's linear count scan
+(count_sorted_kmers, src/kmerops.cpp:1410-1479): instead of a sequential
+run-length encoder, run extents are computed densely with prefix/suffix scans:
+
+  head[i]   = first position of a run of equal keys
+  next head = suffix-min over (head ? index : N) -> run length by subtraction
+
+No scatter, no data-dependent loops; everything is (N,)-shaped dense math that
+XLA fuses around the sort.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def run_length_count(
+    sorted_valid: jnp.ndarray, sorted_words: Sequence[jnp.ndarray]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Given validity-first sorted keys, return (head, count).
+
+    head: bool (N,) — True at the first slot of each distinct valid key.
+    count: int32 (N,) — at head slots, the number of equal keys; else 0.
+    """
+    n = sorted_valid.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    neq = jnp.zeros(n, dtype=jnp.bool_)
+    for w in sorted_words:
+        neq = neq | (w != jnp.roll(w, 1))
+    neq = neq.at[0].set(True)
+    head = sorted_valid & neq
+
+    nvalid = jnp.sum(sorted_valid.astype(jnp.int32))
+    head_pos = jnp.where(head, idx, n)
+    # next_head[i] = min over j >= i+1 of head_pos[j]
+    suffix_min = jax.lax.cummin(head_pos, axis=0, reverse=True)
+    next_head = jnp.concatenate(
+        [suffix_min[1:], jnp.full((1,), n, dtype=jnp.int32)]
+    )
+    run_end = jnp.minimum(next_head, nvalid)
+    count = jnp.where(head, run_end - idx, 0)
+    return head, count
+
+
+def run_length_sum(
+    sorted_valid: jnp.ndarray,
+    sorted_words: Sequence[jnp.ndarray],
+    weights: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Like run_length_count but each slot contributes `weights[i]` to its run.
+
+    Used by the combiner path (pre-aggregated (key, count) pairs arriving from
+    the exchange — the TPU analogue of the reference's GatheredKmerList merge,
+    src/kmerops.cpp:546-581). With weights == valid this reduces to
+    run_length_count.
+    """
+    n = sorted_valid.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    neq = jnp.zeros(n, dtype=jnp.bool_)
+    for w in sorted_words:
+        neq = neq | (w != jnp.roll(w, 1))
+    neq = neq.at[0].set(True)
+    head = sorted_valid & neq
+
+    w32 = jnp.where(sorted_valid, weights.astype(jnp.int32), 0)
+    prefix = jnp.cumsum(w32)  # inclusive
+    nvalid = jnp.sum(sorted_valid.astype(jnp.int32))
+    head_pos = jnp.where(head, idx, n)
+    suffix_min = jax.lax.cummin(head_pos, axis=0, reverse=True)
+    next_head = jnp.concatenate(
+        [suffix_min[1:], jnp.full((1,), n, dtype=jnp.int32)]
+    )
+    run_end = jnp.minimum(next_head, nvalid)  # exclusive end of my run
+    # sum over [i, run_end) = prefix[run_end - 1] - prefix[i] + w32[i]
+    end_prefix = prefix[jnp.maximum(run_end - 1, 0)]
+    start_prefix = prefix[idx] - w32
+    count = jnp.where(head, end_prefix - start_prefix, 0)
+    return head, count
+
+
+def frequency_filter(
+    head: jnp.ndarray, count: jnp.ndarray, lower: int, upper: int
+) -> jnp.ndarray:
+    """keep[i] — head slots whose run count is within [lower, upper].
+
+    Mirrors the reference's [L, U] filter (src/kmerops.cpp:1430-1460).
+    """
+    return head & (count >= lower) & (count <= upper)
+
+
+def histogram(
+    keep: jnp.ndarray, count: jnp.ndarray, upper: int
+) -> jnp.ndarray:
+    """hist[c] = number of kept k-mers with frequency c, c in [0, upper].
+
+    Matches print_kmer_histogram (src/hysortk.cpp:98-136), which histograms the
+    *filtered* list, so counts never exceed `upper`. Computed as a masked
+    one-hot reduction (fusable dense math; no scatter).
+    """
+    cvals = jnp.arange(upper + 1, dtype=jnp.int32)
+    onehot = (count[:, None] == cvals[None, :]) & keep[:, None]
+    return jnp.sum(onehot.astype(jnp.int32), axis=0)

@@ -1,0 +1,94 @@
+"""Key-space bucket exchange over the device mesh.
+
+TPU-native replacement for the reference's two-stage batched MPI exchange
+(TaskManager round loop + MPI_Ialltoall, src/kmerops.cpp:587-1007). The
+reference's protocol exists to solve two problems MPI has and XLA doesn't:
+unknown receive sizes (solved there by a count Alltoallv *before* payload,
+kmerops.cpp:782) and bounded memory (fixed 80 kB rounds). Here:
+
+  * counts still travel before/with the payload — a tiny `all_to_all` of the
+    per-destination counts lets every receiver reconstruct validity masks
+    without any host round-trip;
+  * payload moves in ONE padded `all_to_all` per device batch: slot capacity
+    is static (capacity_factor over the balanced mean), overflow is detected
+    with a `pmax` flag (the analogue of the reference's completion flags,
+    kmerops.cpp:984-990) and handled by the host re-running with a larger
+    capacity — bounded memory comes from host-side device-batch streaming,
+    not from chunked collectives.
+
+Packing the send buffer is a sort-by-destination + dense gather: no serial
+bucket walks, no scatter.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sort as sort_ops
+
+
+def pack_by_destination(
+    invalid: jnp.ndarray,
+    dest: jnp.ndarray,
+    words: Sequence[jnp.ndarray],
+    payloads: Sequence[jnp.ndarray],
+    num_shards: int,
+    capacity: int,
+):
+    """Group valid entries by destination into a (num_shards, capacity, ...) buffer.
+
+    Returns (send_words, send_payloads, send_counts, overflow):
+      send_words:   list of W arrays (num_shards, capacity) uint32
+      send_payloads: same shape per payload
+      send_counts:  (num_shards,) int32 — entries destined to each shard
+      overflow:     bool scalar — some destination exceeded `capacity`
+    """
+    dest_key = jnp.where(invalid == 0, dest.astype(jnp.uint32), jnp.uint32(num_shards))
+    inv_s, sorted_rest, _ = sort_ops.sort_keys(
+        invalid, [dest_key, *words, *payloads], backend="xla"
+    )
+    dest_s = sorted_rest[0]
+    words_s = sorted_rest[1 : 1 + len(words)]
+    payloads_s = sorted_rest[1 + len(words) :]
+
+    # Destination segment offsets via searchsorted on the sorted dest column.
+    queries = jnp.arange(num_shards + 1, dtype=jnp.uint32)
+    offsets = jnp.searchsorted(dest_s, queries, side="left").astype(jnp.int32)
+    counts = offsets[1:] - offsets[:-1]
+    overflow = jnp.any(counts > capacity)
+
+    slot_d = jax.lax.broadcasted_iota(jnp.int32, (num_shards, capacity), 0)
+    slot_j = jax.lax.broadcasted_iota(jnp.int32, (num_shards, capacity), 1)
+    src = jnp.minimum(offsets[:-1][:, None] + slot_j, dest_s.shape[0] - 1)
+    send_words = [w[src] for w in words_s]
+    send_payloads = [p[src] for p in payloads_s]
+    # Validity is implied receiver-side by the exchanged counts; slots beyond
+    # the count carry garbage that is never read.
+    return send_words, send_payloads, counts, overflow
+
+
+def all_to_all_exchange(
+    send_words: Sequence[jnp.ndarray],
+    send_payloads: Sequence[jnp.ndarray],
+    send_counts: jnp.ndarray,
+    axis_name: str,
+):
+    """Exchange (num_shards, capacity) blocks so block s comes from shard s.
+
+    Returns (recv_words, recv_payloads, recv_counts, recv_valid_flat).
+    """
+    a2a = lambda x: jax.lax.all_to_all(
+        x, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )
+    recv_words = [a2a(w) for w in send_words]
+    recv_payloads = [a2a(p) for p in send_payloads]
+    recv_counts = a2a(send_counts)
+    capacity = send_words[0].shape[1]
+    slot_j = jax.lax.broadcasted_iota(
+        jnp.int32, (recv_counts.shape[0], capacity), 1
+    )
+    recv_valid = slot_j < recv_counts[:, None]
+    return recv_words, recv_payloads, recv_counts, recv_valid

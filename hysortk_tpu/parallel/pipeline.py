@@ -1,0 +1,220 @@
+"""Sharded (multi-device / multi-host) k-mer counting pipeline.
+
+SPMD redesign of the reference's rank pipeline (src/kmerops.cpp): one
+shard_map program per device batch does
+
+  local canonical keys -> destination hash -> pack -> all_to_all
+  -> local sort -> run-length count -> [L,U] filter -> psum histogram
+
+Ownership rule: dest = mix(key) % num_shards. The reference routes by
+*minimizer* hash (so co-destined k-mers form supermers that compress the
+MPI wire, src/kmerops.cpp:1044-1047); on ICI we exchange packed keys
+directly, so hashing the whole key gives strictly better balance with the
+same correctness guarantee (equal keys land together). The minimizer
+machinery (ops/minimizer.py) remains in use for the host-side supermer wire
+format (io/supermer.py) used when reads are shipped across DCN.
+
+With cfg.combiner=True each shard pre-aggregates its local duplicates
+(sort + run-length) and exchanges (key, partial_count) pairs — the always-on
+generalization of the reference's heavy-hitter ScatteredKmerList path
+(src/kmerops.cpp:363-417).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import KmerConfig
+from ..ops import count as count_ops
+from ..ops import hashes
+from ..ops import kmer as kmer_ops
+from ..ops import sort as sort_ops
+from ..pipeline import KmerList
+from . import exchange
+from .mesh import SHARD_AXIS, make_mesh
+
+
+def _shard_body(codes, valid, *, cfg: KmerConfig, num_shards: int, capacity: int):
+    """Per-shard computation (runs under shard_map; axis SHARD_AXIS)."""
+    codes = codes.astype(jnp.int32)
+    words = kmer_ops.canonical_words(codes, cfg.k)
+    invalid = (~valid).astype(jnp.uint32)
+    dest = hashes.mix_words(words) % jnp.uint32(num_shards)
+
+    if cfg.combiner:
+        # Local pre-aggregation: one entry per distinct local key.
+        inv_s, words_s, _ = sort_ops.sort_keys(
+            invalid, words, backend=cfg.sort_backend
+        )
+        svalid = inv_s == 0
+        head, local_cnt = count_ops.run_length_count(svalid, words_s)
+        entry_invalid = (~head).astype(jnp.uint32)
+        entry_dest = hashes.mix_words(words_s) % jnp.uint32(num_shards)
+        send_w, send_p, counts, overflow = exchange.pack_by_destination(
+            entry_invalid, entry_dest, words_s, [local_cnt.astype(jnp.uint32)],
+            num_shards, capacity,
+        )
+    else:
+        send_w, send_p, counts, overflow = exchange.pack_by_destination(
+            invalid, dest, words, [], num_shards, capacity
+        )
+
+    recv_w, recv_p, _, recv_valid = exchange.all_to_all_exchange(
+        send_w, send_p, counts, SHARD_AXIS
+    )
+
+    flat_w = [w.reshape(-1) for w in recv_w]
+    flat_valid = recv_valid.reshape(-1)
+    flat_invalid = (~flat_valid).astype(jnp.uint32)
+
+    if cfg.combiner:
+        weights = recv_p[0].reshape(-1)
+        inv_s, sorted_rest, _ = sort_ops.sort_keys(
+            flat_invalid, list(flat_w) + [weights], backend=cfg.sort_backend
+        )
+        words_s = sorted_rest[: len(flat_w)]
+        weights_s = sorted_rest[len(flat_w)].astype(jnp.int32)
+        svalid = inv_s == 0
+        head, cnt = count_ops.run_length_sum(svalid, words_s, weights_s)
+    else:
+        inv_s, words_s, _ = sort_ops.sort_keys(
+            flat_invalid, flat_w, backend=cfg.sort_backend
+        )
+        svalid = inv_s == 0
+        head, cnt = count_ops.run_length_count(svalid, words_s)
+
+    keep = count_ops.frequency_filter(head, cnt, cfg.lower, cfg.upper)
+    hist = count_ops.histogram(keep, cnt, cfg.upper)
+    hist = jax.lax.psum(hist, SHARD_AXIS)
+    overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
+
+    keys = jnp.stack(words_s, axis=-1)
+    return keys, cnt, keep, hist, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_shards", "capacity", "mesh")
+)
+def _count_sharded_jit(codes, valid, *, cfg, num_shards, capacity, mesh):
+    body = functools.partial(
+        _shard_body, cfg=cfg, num_shards=num_shards, capacity=capacity
+    )
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+        check_rep=False,
+    )(codes, valid)
+
+
+def count_flat_sharded(
+    codes: np.ndarray,
+    valid: np.ndarray,
+    cfg: KmerConfig,
+    mesh: Optional[Mesh] = None,
+) -> tuple[KmerList, np.ndarray]:
+    """Sharded pipeline entry: flat global (codes, valid) -> (KmerList, hist).
+
+    `codes`/`valid` global length must be divisible by the shard count (the
+    host loaders pad per shard). Retries with doubled exchange capacity on
+    overflow (the rare, pathological-skew case).
+    """
+    mesh = mesh or make_mesh()
+    num_shards = mesh.devices.size
+    n = codes.shape[0]
+    assert n % num_shards == 0, (n, num_shards)
+    n_local = n // num_shards
+
+    codes_j = jnp.asarray(codes, dtype=jnp.int8)
+    valid_j = jnp.asarray(valid)
+
+    capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
+    for _attempt in range(4):
+        keys, cnt, keep, hist, overflow = _count_sharded_jit(
+            codes_j, valid_j,
+            cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
+        )
+        if int(jax.device_get(overflow)) == 0:
+            break
+        capacity *= 2
+    else:
+        raise RuntimeError("exchange capacity overflow after 4 doublings")
+
+    keep_np = np.asarray(keep)
+    kmerlist = KmerList(
+        keys=np.asarray(keys)[keep_np],
+        counts=np.asarray(cnt)[keep_np],
+        k=cfg.k,
+    )
+    return kmerlist, np.asarray(hist)
+
+
+def distribute_reads(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    num_shards: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side analogue of the reference's read partitioning: split reads
+    into `num_shards` base-balanced groups (fastaindex.cpp:52-100) and build
+    one equal-size flat (codes, valid) block per shard, concatenated."""
+    from ..io import fasta as fasta_io
+
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    # Greedy contiguous split by bases.
+    per_shard: list[list[int]] = [[] for _ in range(num_shards)]
+    total = int(lengths.sum())
+    target = total / num_shards if num_shards else 0
+    shard, acc = 0, 0
+    for i, ln in enumerate(lengths):
+        if (
+            shard < num_shards - 1
+            and acc > 0
+            and acc + ln / 2 > target
+        ):
+            shard += 1
+            acc = 0
+        per_shard[shard].append(i)
+        acc += int(ln)
+
+    blocks = []
+    for part in per_shard:
+        if part:
+            c = np.concatenate(
+                [codes[offsets[i] : offsets[i + 1]] for i in part]
+            )
+            l = lengths[np.asarray(part, dtype=np.int64)]
+        else:
+            c = np.zeros(0, dtype=codes.dtype)
+            l = np.zeros(0, dtype=np.int64)
+        blocks.append(
+            fasta_io.flatten_for_device(c, l, cfg.k, cfg.pad_multiple)
+        )
+    block_len = max(b[0].shape[0] for b in blocks)
+    out_codes = np.zeros((num_shards, block_len), dtype=np.int8)
+    out_valid = np.zeros((num_shards, block_len), dtype=bool)
+    for s, (c, v) in enumerate(blocks):
+        out_codes[s, : c.shape[0]] = c
+        out_valid[s, : v.shape[0]] = v
+    return out_codes.reshape(-1), out_valid.reshape(-1)
+
+
+def count_reads_sharded(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    mesh: Optional[Mesh] = None,
+) -> tuple[KmerList, np.ndarray]:
+    mesh = mesh or make_mesh()
+    flat_codes, flat_valid = distribute_reads(
+        codes, lengths, cfg, mesh.devices.size
+    )
+    return count_flat_sharded(flat_codes, flat_valid, cfg, mesh)

@@ -1,0 +1,15 @@
+"""Test configuration: simulate an 8-device mesh on CPU.
+
+Multi-device logic is tested without TPU hardware the same way the reference's
+multi-rank logic would be tested without a cluster: by forcing the host
+platform to expose 8 virtual devices (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
