@@ -1,0 +1,95 @@
+"""Benchmark: canonical k-mers counted per second per chip at K=31.
+
+Prints ONE JSON line:
+  {"metric": "kmers_per_sec_per_chip_k31", "value": N, "unit": "kmers/s",
+   "vs_baseline": R}
+
+The measured quantity is the full device-side pipeline (canonical key
+construction + sort + run-length count + [L,U] filter + histogram) on a
+synthetic read set, steady-state (post-compile), best of 3.
+
+vs_baseline compares against the reference HySortK binary's k-mers/s measured
+on this machine's CPU (stored in baseline_cpu.json by tools/run_reference.py
+when the reference oracle has been built); falls back to 1.0 if absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def make_input(total_bases: int, read_len: int, k: int, seed: int = 0):
+    """Synthetic reads, flat codes + validity, ~8% duplicated reads."""
+    rng = np.random.default_rng(seed)
+    n_reads = total_bases // read_len
+    reads = rng.integers(0, 4, size=(n_reads, read_len), dtype=np.int8)
+    ndup = max(n_reads // 12, 1)
+    reads[-ndup:] = reads[:ndup]
+    codes = reads.reshape(-1)
+    lengths = np.full(n_reads, read_len, dtype=np.int64)
+    from hysortk_tpu.io import fasta as fasta_io
+
+    return fasta_io.flatten_for_device(codes, lengths, k, 8192)
+
+
+def main():
+    import jax
+
+    from hysortk_tpu.config import KmerConfig
+    from hysortk_tpu.pipeline import _count_device
+
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50)
+
+    platform = jax.devices()[0].platform
+    total_bases = 1 << 26 if platform != "cpu" else 1 << 21
+    read_len = 1024
+    codes, valid = make_input(total_bases, read_len, cfg.k)
+    n_kmers = int(valid.sum())
+
+    codes_j = jax.device_put(jax.numpy.asarray(codes, dtype=jax.numpy.int8))
+    valid_j = jax.device_put(jax.numpy.asarray(valid))
+
+    run = lambda: _count_device(
+        codes_j, valid_j, cfg.k, cfg.lower, cfg.upper, cfg.sort_backend
+    )
+    # Warm up (first execution includes remote compile on tunneled TPUs);
+    # fetching the (tiny) histogram forces a true execution sync —
+    # block_until_ready alone has proven unreliable on experimental backends.
+    jax.device_get(run()[3])
+
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = run()
+        jax.block_until_ready(out)
+        jax.device_get(out[3])
+        best = min(best, time.perf_counter() - t0)
+
+    value = n_kmers / best
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
+    vs_baseline = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("kmers_per_sec"):
+            vs_baseline = value / float(base["kmers_per_sec"])
+
+    print(
+        json.dumps(
+            {
+                "metric": "kmers_per_sec_per_chip_k31",
+                "value": round(value),
+                "unit": "kmers/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

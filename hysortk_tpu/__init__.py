@@ -18,7 +18,14 @@ from typing import Optional, Sequence
 import numpy as np
 
 from .config import KmerConfig
-from .pipeline import KmerList, count_flat, count_reads
+from .pipeline import (
+    KmerList,
+    KmerListExt,
+    count_flat,
+    count_flat_ext,
+    count_reads,
+    count_reads_ext,
+)
 from .io import fasta as _fasta
 from .io import writer as _writer
 
@@ -27,12 +34,15 @@ __version__ = "0.1.0"
 __all__ = [
     "KmerConfig",
     "KmerList",
+    "KmerListExt",
     "read_dna_buffer",
     "kmer_count",
     "print_kmer_histogram",
     "write_output_file",
     "count_flat",
+    "count_flat_ext",
     "count_reads",
+    "count_reads_ext",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Command-line interface: `python -m hysortk_tpu.cli <fasta> [output_dir]`.
+
+Mirrors the reference standalone binary (reference: standalone/main.cpp:9-72):
+prints the parameter block, runs read -> count -> histogram -> output files.
+Extra flags expose what the reference fixes at compile time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hysortk_tpu",
+        description="TPU-native sorting-based k-mer counter",
+    )
+    p.add_argument("fasta", help="input FASTA file (a .fai is built if absent)")
+    p.add_argument(
+        "output_dir",
+        nargs="?",
+        default=None,
+        help="directory for per-shard {kmer}\\t{count} files (omit to skip)",
+    )
+    p.add_argument("-k", type=int, default=31, help="k-mer size (default 31)")
+    p.add_argument("-m", type=int, default=17, help="minimizer size (default 17)")
+    p.add_argument("-l", "--lower", type=int, default=15,
+                   help="lower frequency bound (default 15)")
+    p.add_argument("-u", "--upper", type=int, default=40,
+                   help="upper frequency bound (default 40)")
+    p.add_argument("--combiner", action="store_true",
+                   help="pre-aggregate local duplicates before the exchange")
+    p.add_argument("--sort", choices=("xla", "pallas"), default="xla",
+                   help="device sort backend")
+    p.add_argument("--single-device", action="store_true",
+                   help="force the single-chip pipeline even on a multi-device mesh")
+    p.add_argument("--no-histogram", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from . import kmer_count, print_kmer_histogram, read_dna_buffer, write_output_file
+    from .config import KmerConfig
+    from .runtime.logger import Logger
+    from .runtime.timer import Timer
+
+    cfg = KmerConfig(
+        k=args.k, m=args.m, lower=args.lower, upper=args.upper,
+        combiner=args.combiner, sort_backend=args.sort,
+    )
+
+    log = Logger()
+    devices = jax.devices()
+    log.root(f"hysortk_tpu | k={cfg.k} m={cfg.m} L={cfg.lower} U={cfg.upper} "
+             f"combiner={cfg.combiner} sort={cfg.sort_backend}")
+    log.root(f"devices: {len(devices)} x {devices[0].device_kind}")
+    log.root(f"input: {args.fasta}")
+
+    timer = Timer()
+    with timer.span("read_fasta"):
+        codes, lengths = read_dna_buffer(args.fasta)
+    log.root(f"{lengths.size} reads, {codes.size} bases "
+             f"({codes.size / max(timer.last('read_fasta'), 1e-9) / 1e6:.1f} Mb/s)")
+
+    with timer.span("kmer_count"):
+        if len(devices) > 1 and not args.single_device:
+            from .parallel.pipeline import count_reads_sharded
+
+            kmerlist, hist = count_reads_sharded(codes, lengths, cfg)
+        else:
+            kmerlist, hist = kmer_count(codes, lengths, cfg)
+    log.root(f"{len(kmerlist)} filtered kmers in "
+             f"{timer.last('kmer_count'):.3f}s")
+
+    if not args.no_histogram:
+        print_kmer_histogram(hist)
+
+    if args.output_dir:
+        with timer.span("write_output"):
+            path = write_output_file(kmerlist, args.output_dir)
+        log.root(f"wrote {path}")
+
+    log.root(timer.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -167,6 +167,18 @@ def read_records(
 
     lengths = np.array([r.length for r in records], dtype=np.int64)
     total = int(lengths.sum())
+
+    # Fast path: native OpenMP strip+pack (no \r handling -> numpy fallback).
+    from . import native
+
+    if native.available() and not np.any(chunk == ord("\r")):
+        raw_off = np.array([r.offset - lo for r in records], dtype=np.int64)
+        line_bases = np.array([r.linebases for r in records], dtype=np.int64)
+        line_width = np.array([r.linewidth for r in records], dtype=np.int64)
+        out = native.strip_and_pack(chunk, raw_off, lengths, line_bases, line_width)
+        if out is not None:
+            return out, lengths
+
     codes = np.empty(total, dtype=np.uint8)
     out_pos = 0
     for r in records:
@@ -187,6 +199,35 @@ def reads_to_codes(reads: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
         return np.zeros(0, dtype=np.uint8), lengths
     raw = np.frombuffer("".join(reads).encode(), dtype=np.uint8)
     return CODE_LUT[raw], lengths
+
+
+def flatten_for_device_ext(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    k: int,
+    pad_multiple: int = 1024,
+    read_id_offset: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Extension-mode device input: (codes, valid, rid, pos).
+
+    rid[i] = global read id owning flat position i (offset by read_id_offset,
+    the analogue of the reference's MPI_Exscan read-id base,
+    src/kmerops.cpp:66); pos[i] = position within the read. Only meaningful at
+    valid k-mer starts.
+    """
+    out_codes, valid = flatten_for_device(codes, lengths, k, pad_multiple)
+    n = int(codes.size)
+    rid = np.zeros(out_codes.shape[0], dtype=np.int32)
+    pos = np.zeros(out_codes.shape[0], dtype=np.uint32)
+    if lengths.size:
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        rid[:n] = np.repeat(
+            np.arange(lengths.size, dtype=np.int64) + read_id_offset, lengths
+        ).astype(np.int32)
+        pos[:n] = (np.arange(n, dtype=np.int64) - np.repeat(offsets, lengths)).astype(
+            np.uint32
+        )
+    return out_codes, valid, rid, pos
 
 
 def flatten_for_device(

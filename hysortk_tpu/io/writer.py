@@ -44,10 +44,11 @@ def parse_histogram(text: str) -> dict[int, int]:
     out: dict[int, int] = {}
     for line in text.splitlines():
         line = line.strip()
-        if not line or line.startswith("#"):
-            continue
-        c, n = line.split("\t")
-        out[int(c)] = int(n)
+        parts = line.split("\t")
+        # Histogram rows are exactly "<count>\t<numkmers>"; the reference's
+        # stdout interleaves timing/log lines that must be ignored.
+        if len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit():
+            out[int(parts[0])] = int(parts[1])
     return out
 
 

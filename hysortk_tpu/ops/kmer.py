@@ -125,6 +125,15 @@ def decode_keys(keys: np.ndarray, k: int) -> np.ndarray:
     """
     keys = np.asarray(keys, dtype=np.uint32)
     n = keys.shape[0]
+    try:
+        from ..io import native
+
+        if n >= 4096 and native.available():
+            out = native.decode_keys(keys, k)
+            if out is not None:
+                return out
+    except ImportError:
+        pass
     chars = np.empty((n, k), dtype=np.uint8)
     for i in range(k):
         w, j = divmod(i, 16)

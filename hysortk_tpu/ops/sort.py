@@ -9,8 +9,13 @@ memory (src/kmerops.cpp:1344-1379). On TPU the equivalents are:
               num_keys), the correctness-first baseline.
   * "pallas": on-chip radix sort (ops/radix.py), the performance path.
 
-A leading `invalid` word (0 = valid, 1 = invalid) is always the primary key so
-padding/masked slots sort to the tail regardless of key contents.
+Invalid/padding slots are folded INTO the key as an all-ones sentinel rather
+than carried as a separate leading sort operand: a valid canonical k-mer can
+never be all-T (its reverse complement, all-A, is lexicographically smaller,
+so GetRep would have chosen it — reference include/kmer.hpp:316-321), hence
+the all-ones pattern in every word is unreachable and sorts strictly after
+every real key. This removes one full operand stream from the sort — a 1/3
+bandwidth saving at K=31.
 """
 
 from __future__ import annotations
@@ -20,6 +25,24 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+_FULL = jnp.uint32(0xFFFFFFFF)
+
+
+def apply_sentinel(
+    invalid: jnp.ndarray, words: Sequence[jnp.ndarray]
+) -> list[jnp.ndarray]:
+    """Overwrite invalid slots with the unreachable all-ones key."""
+    inv = invalid.astype(jnp.bool_) if invalid.dtype != jnp.bool_ else invalid
+    return [jnp.where(inv, _FULL, w) for w in words]
+
+
+def sentinel_valid(words: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Recover the validity mask after sorting sentinel-folded keys."""
+    all_ones = jnp.ones(words[0].shape, dtype=jnp.bool_)
+    for w in words:
+        all_ones = all_ones & (w == _FULL)
+    return ~all_ones
+
 
 def sort_keys(
     invalid: jnp.ndarray,
@@ -27,19 +50,22 @@ def sort_keys(
     payloads: Sequence[jnp.ndarray] = (),
     backend: str = "xla",
 ) -> tuple[jnp.ndarray, list[jnp.ndarray], list[jnp.ndarray]]:
-    """Sort by (invalid, words...) lexicographically, carrying payloads.
+    """Sort by key words lexicographically, invalid slots last, carrying payloads.
 
-    Returns (sorted_invalid, sorted_words, sorted_payloads).
+    Returns (sorted_invalid, sorted_words, sorted_payloads), where
+    sorted_invalid is uint32 (0 = valid, 1 = invalid) for compatibility.
     """
     n_words = len(words)
+    marked = apply_sentinel(invalid, words)
     if backend == "pallas":
         from . import radix
 
-        return radix.radix_sort_keys(invalid, list(words), list(payloads))
-    operands = (invalid.astype(jnp.uint32), *words, *payloads)
-    out = jax.lax.sort(operands, num_keys=1 + n_words, is_stable=False)
-    return (
-        out[0],
-        list(out[1 : 1 + n_words]),
-        list(out[1 + n_words :]),
-    )
+        sorted_words, sorted_payloads = radix.radix_sort_keys(
+            marked, list(payloads)
+        )
+    else:
+        out = jax.lax.sort((*marked, *payloads), num_keys=n_words, is_stable=False)
+        sorted_words = list(out[:n_words])
+        sorted_payloads = list(out[n_words:])
+    inv_sorted = (~sentinel_valid(sorted_words)).astype(jnp.uint32)
+    return inv_sorted, sorted_words, sorted_payloads

@@ -76,11 +76,10 @@ def _shard_body(codes, valid, *, cfg: KmerConfig, num_shards: int, capacity: int
 
     if cfg.combiner:
         weights = recv_p[0].reshape(-1)
-        inv_s, sorted_rest, _ = sort_ops.sort_keys(
-            flat_invalid, list(flat_w) + [weights], backend=cfg.sort_backend
+        inv_s, words_s, payloads_s = sort_ops.sort_keys(
+            flat_invalid, flat_w, payloads=[weights], backend=cfg.sort_backend
         )
-        words_s = sorted_rest[: len(flat_w)]
-        weights_s = sorted_rest[len(flat_w)].astype(jnp.int32)
+        weights_s = payloads_s[0].astype(jnp.int32)
         svalid = inv_s == 0
         head, cnt = count_ops.run_length_sum(svalid, words_s, weights_s)
     else:

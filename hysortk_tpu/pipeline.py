@@ -50,6 +50,117 @@ class KmerList:
         return dict(zip(self.decoded().tolist(), self.counts.tolist()))
 
 
+@dataclasses.dataclass
+class KmerListExt:
+    """Extension-mode result: per-kmer occurrence payloads.
+
+    pos[j]/rid[j] are the PosInRead / global ReadId arrays of all counts[j]
+    occurrences of keys[j] — the reference's EXTENSION=1 KmerListEntryS
+    (include/kmer.hpp:346-400, populated at src/kmerops.cpp:1430-1438).
+    """
+
+    keys: np.ndarray
+    counts: np.ndarray
+    k: int
+    pos: list[np.ndarray] = dataclasses.field(default_factory=list)
+    rid: list[np.ndarray] = dataclasses.field(default_factory=list)
+
+    def __len__(self) -> int:
+        return int(self.keys.shape[0])
+
+    def decoded(self) -> np.ndarray:
+        return kmer_ops.decode_keys(self.keys, self.k)
+
+    def as_dict(self) -> dict[bytes, tuple[int, set]]:
+        """kmer -> (count, {(rid, pos), ...}) for order-free comparison."""
+        out = {}
+        for km, c, p, r in zip(
+            self.decoded().tolist(), self.counts.tolist(), self.pos, self.rid
+        ):
+            out[km] = (int(c), set(zip(r.tolist(), p.tolist())))
+        return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "lower", "upper", "sort_backend")
+)
+def _count_device_ext(
+    codes: jnp.ndarray,
+    valid: jnp.ndarray,
+    rid: jnp.ndarray,
+    pos: jnp.ndarray,
+    k: int,
+    lower: int,
+    upper: int,
+    sort_backend: str,
+):
+    """Extension-mode device pipeline: payloads ride the sort as extra operands
+    (the reference instead widens KmerSeedStruct, include/kmer.hpp:402-430)."""
+    words = kmer_ops.canonical_words(codes.astype(jnp.int32), k)
+    invalid = (~valid).astype(jnp.uint32)
+    inv_s, words_s, payloads_s = sort_ops.sort_keys(
+        invalid,
+        words,
+        payloads=[rid.astype(jnp.uint32), pos.astype(jnp.uint32)],
+        backend=sort_backend,
+    )
+    svalid = inv_s == 0
+    head, cnt = count_ops.run_length_count(svalid, words_s)
+    keep = count_ops.frequency_filter(head, cnt, lower, upper)
+    hist = count_ops.histogram(keep, cnt, upper)
+    keys = jnp.stack(words_s, axis=-1)
+    return keys, cnt, keep, hist, payloads_s[0], payloads_s[1]
+
+
+def count_flat_ext(
+    codes: np.ndarray,
+    valid: np.ndarray,
+    rid: np.ndarray,
+    pos: np.ndarray,
+    cfg: KmerConfig,
+) -> tuple[KmerListExt, np.ndarray]:
+    """Extension-mode host wrapper: slices the sorted payload stream into
+    per-kmer occurrence lists (ragged assembly stays host-side)."""
+    keys, cnt, keep, hist, srid, spos = _count_device_ext(
+        jnp.asarray(codes, dtype=jnp.int8),
+        jnp.asarray(valid),
+        jnp.asarray(rid),
+        jnp.asarray(pos),
+        cfg.k,
+        cfg.lower,
+        cfg.upper,
+        cfg.sort_backend,
+    )
+    keep_np = np.asarray(keep)
+    cnt_np = np.asarray(cnt)
+    srid_np = np.asarray(srid).astype(np.int32)
+    spos_np = np.asarray(spos).astype(np.uint32)
+    starts = np.flatnonzero(keep_np)
+    counts = cnt_np[starts]
+    result = KmerListExt(
+        keys=np.asarray(keys)[keep_np],
+        counts=counts,
+        k=cfg.k,
+        pos=[spos_np[s : s + c] for s, c in zip(starts, counts)],
+        rid=[srid_np[s : s + c] for s, c in zip(starts, counts)],
+    )
+    return result, np.asarray(hist)
+
+
+def count_reads_ext(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    read_id_offset: int = 0,
+) -> tuple[KmerListExt, np.ndarray]:
+    from .io import fasta as fasta_io
+
+    flat, valid, rid, pos = fasta_io.flatten_for_device_ext(
+        codes, lengths, cfg.k, cfg.pad_multiple, read_id_offset
+    )
+    return count_flat_ext(flat, valid, rid, pos, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "lower", "upper", "sort_backend"))
 def _count_device(
     codes: jnp.ndarray,

@@ -1,0 +1,117 @@
+// Native host-side hot loops for hysortk_tpu, exposed as a C ABI shared
+// library consumed via ctypes (io/native.py).
+//
+// These are the TPU build's equivalents of the reference's host hot loops:
+//   * ASCII -> 2-bit packing        (reference DnaSeq::compress, src/dnaseq.cpp:9-80)
+//   * FASTA newline-strip + pack    (reference FastaIndex::getmydna, src/fastaindex.cpp:248-293)
+//   * packed-key -> ASCII decode    (reference Kmer::GetString, include/kmer.hpp:147-163)
+//   * k-mer validity mask building
+//
+// All loops are OpenMP-parallel; the Python layer keeps bit-identical numpy
+// fallbacks that double as the semantics oracle in tests.
+
+#include <cstdint>
+#include <cstring>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ASCII -> 2-bit code, A/a=0 C/c=1 G/g=2 T/t=3, everything else 0.
+static uint8_t g_code_lut[256];
+
+static bool init_lut() {
+  for (int i = 0; i < 256; ++i) g_code_lut[i] = 0;
+  g_code_lut['A'] = g_code_lut['a'] = 0;
+  g_code_lut['C'] = g_code_lut['c'] = 1;
+  g_code_lut['G'] = g_code_lut['g'] = 2;
+  g_code_lut['T'] = g_code_lut['t'] = 3;
+  return true;
+}
+static const bool g_lut_ready = init_lut();
+
+void hk_pack_codes(const uint8_t *ascii, int64_t n, uint8_t *out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) out[i] = g_code_lut[ascii[i]];
+}
+
+// Strip line breaks of FASTA records and pack codes in one pass.
+// raw: the byte range read from the file; for record r, the sequence starts at
+// raw_off[r] (relative to raw) and has seq_len[r] bases laid out in lines of
+// line_bases[r] bases every line_width[r] bytes. Output is the concatenated
+// code stream; out_off[r] gives each record's output offset.
+void hk_strip_and_pack(const uint8_t *raw, const int64_t *raw_off,
+                       const int64_t *seq_len, const int64_t *line_bases,
+                       const int64_t *line_width, const int64_t *out_off,
+                       int64_t nrecs, uint8_t *out) {
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t r = 0; r < nrecs; ++r) {
+    const int64_t lb = line_bases[r] > 0 ? line_bases[r] : seq_len[r];
+    const int64_t lw = line_width[r] > 0 ? line_width[r] : lb + 1;
+    const uint8_t *src = raw + raw_off[r];
+    uint8_t *dst = out + out_off[r];
+    int64_t remaining = seq_len[r];
+    while (remaining > 0) {
+      const int64_t take = remaining < lb ? remaining : lb;
+      for (int64_t i = 0; i < take; ++i) dst[i] = g_code_lut[src[i]];
+      dst += take;
+      src += lw;
+      remaining -= take;
+    }
+  }
+}
+
+// Packed canonical keys -> ASCII. keys is row-major (n, w) uint32; out gets
+// n*k chars (no separators).
+void hk_decode_keys(const uint32_t *keys, int64_t n, int32_t w, int32_t k,
+                    char *out) {
+  static const char bases[4] = {'A', 'C', 'G', 'T'};
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t *key = keys + i * w;
+    char *dst = out + i * k;
+    for (int32_t j = 0; j < k; ++j) {
+      const uint32_t word = key[j >> 4];
+      dst[j] = bases[(word >> (2 * (15 - (j & 15)))) & 3u];
+    }
+  }
+}
+
+// Validity mask: valid[i] = 1 iff a k-mer starting at flat position i fits
+// inside its read. lens/offsets describe the concatenated read layout.
+void hk_build_valid(const int64_t *lens, int64_t nreads, int64_t k,
+                    uint8_t *valid /* size = sum(lens) */) {
+  int64_t off = 0;
+  for (int64_t r = 0; r < nreads; ++r) {
+    const int64_t n_valid = lens[r] - k + 1;
+    for (int64_t i = 0; i < lens[r]; ++i) valid[off + i] = i < n_valid;
+    off += lens[r];
+  }
+}
+
+// Render "kmer\tcount\n" lines for the output writer. counts are int32.
+// Returns the number of bytes written; out must have n * (k + 12) capacity.
+int64_t hk_format_output(const uint32_t *keys, const int32_t *counts,
+                         int64_t n, int32_t w, int32_t k, char *out) {
+  static const char bases[4] = {'A', 'C', 'G', 'T'};
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t *key = keys + i * w;
+    for (int32_t j = 0; j < k; ++j) {
+      const uint32_t word = key[j >> 4];
+      out[pos++] = bases[(word >> (2 * (15 - (j & 15)))) & 3u];
+    }
+    out[pos++] = '\t';
+    char tmp[12];
+    int32_t c = counts[i], len = 0;
+    if (c <= 0) tmp[len++] = '0';
+    while (c > 0) { tmp[len++] = (char)('0' + c % 10); c /= 10; }
+    while (len > 0) out[pos++] = tmp[--len];
+    out[pos++] = '\n';
+  }
+  return pos;
+}
+
+}  // extern "C"

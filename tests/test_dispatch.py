@@ -1,0 +1,50 @@
+"""Classifier + dispatcher: bucket sizing, heavy marking, balanced placement."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hysortk_tpu.parallel import dispatch
+
+
+def test_bucket_sizes_device():
+    dest = jnp.asarray([0, 1, 1, 2, 2, 2, 0, 3], dtype=jnp.int32)
+    valid = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], dtype=bool)
+    sizes = np.asarray(dispatch.bucket_sizes_device(dest, valid, 4))
+    assert sizes.tolist() == [1, 2, 3, 0]
+
+
+def test_classify_heavy():
+    sizes = np.array([10, 10, 10, 100])
+    types = dispatch.classify(sizes, heavy_ratio=2.3)
+    assert types.tolist() == [0, 0, 0, 1]
+    assert dispatch.classify(np.array([5, 5, 5]), 2.3).tolist() == [0, 0, 0]
+
+
+def test_balanced_assignment_perfect_split():
+    sizes = np.array([4, 4, 4, 4, 4, 4])
+    assign = dispatch.balanced_assignment(sizes, 3)
+    assert sorted(np.bincount(assign, minlength=3).tolist()) == [2, 2, 2]
+    assert dispatch.imbalance(sizes, assign, 3) == 1.0
+
+
+def test_balanced_assignment_skewed():
+    rng = np.random.default_rng(0)
+    # Zipf-ish sizes: a few huge buckets, many small.
+    sizes = (1000 / np.arange(1, 49)).astype(np.int64)
+    assign = dispatch.balanced_assignment(sizes, 8)
+    assert assign.min() >= 0 and assign.max() < 8
+    rr = dispatch.round_robin_assignment(48, 8)
+    assert dispatch.imbalance(sizes, assign, 8) <= dispatch.imbalance(
+        sizes, rr, 8
+    )
+    # Placement can't beat the single-largest-bucket floor; it should get
+    # close to it (the reference's sweep bound is avg*1.5 for the rest).
+    floor = max(1.0, sizes.max() / (sizes.sum() / 8))
+    assert dispatch.imbalance(sizes, assign, 8) <= floor + 0.05
+
+
+def test_every_bucket_assigned():
+    sizes = np.array([1, 0, 0, 7, 3, 2, 9, 0])
+    assign = dispatch.balanced_assignment(sizes, 4)
+    assert (assign >= 0).all()
+    assert set(assign.tolist()) <= set(range(4))

@@ -1,0 +1,50 @@
+"""Extension mode (EXT=1): (ReadId, PosInRead) payloads through sort+count."""
+
+import numpy as np
+
+from hysortk_tpu import KmerConfig
+from hysortk_tpu.io import fasta as fasta_io
+from hysortk_tpu.pipeline import count_reads_ext
+from hysortk_tpu import testing as oracle
+
+
+def _oracle_ext(reads, k, lower, upper, rid_offset=0):
+    """kmer -> (count, {(rid, pos)}) via explicit scan."""
+    occ = {}
+    for r, read in enumerate(reads):
+        s = oracle.normalize(read)
+        for i in range(len(s) - k + 1):
+            km = oracle.canonical(s[i : i + k])
+            occ.setdefault(km, []).append((r + rid_offset, i))
+    return {
+        km.encode(): (len(v), set(v))
+        for km, v in occ.items()
+        if lower <= len(v) <= upper
+    }
+
+
+def test_extension_payloads_match_oracle():
+    rng = np.random.default_rng(31)
+    reads = oracle.random_reads(rng, 25, 35, 70)
+    reads = reads + reads[:10]
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=50, extension=True,
+                     pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    result, hist = count_reads_ext(codes, lengths, cfg)
+    got = result.as_dict()
+    want = _oracle_ext(reads, cfg.k, cfg.lower, cfg.upper)
+    assert got == want
+
+
+def test_extension_read_id_offset():
+    # The analogue of the reference's MPI_Exscan global read-id base.
+    reads = ["ACGTACGTACGTACGTACGA"] * 3
+    cfg = KmerConfig(k=15, m=7, lower=1, upper=50, extension=True,
+                     pad_multiple=128)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    result, _ = count_reads_ext(codes, lengths, cfg, read_id_offset=100)
+    got = result.as_dict()
+    want = _oracle_ext(reads, cfg.k, cfg.lower, cfg.upper, rid_offset=100)
+    assert got == want
+    all_rids = {r for _, occ in got.values() for r, _ in occ}
+    assert all_rids == {100, 101, 102}

@@ -1,0 +1,80 @@
+"""Golden test: byte-identical output vs the reference HySortK binary.
+
+The reference is compiled from /root/reference against the single-rank MPI
+shim (tools/build_reference.sh). Comparison is on the sorted union of
+{kmer, count} lines and on the histogram text — per SURVEY.md §7, within-file
+order is backend-defined, set equality is the contract.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from hysortk_tpu import KmerConfig, kmer_count, read_dna_buffer
+from hysortk_tpu.io import writer
+from hysortk_tpu import testing as oracle
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE_BIN = os.path.join(REPO, ".oracle", "hysortk_ref_K31_M17_L2_U50")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ORACLE_BIN),
+    reason="reference oracle not built (run tools/build_reference.sh)",
+)
+
+
+@pytest.fixture(scope="module")
+def fasta(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("golden")
+    rng = np.random.default_rng(123)
+    reads = oracle.random_reads(rng, 120, 35, 200)
+    reads = reads + reads[:60] + reads[:30] + reads[:10]
+    path = tmp / "golden.fa"
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">read{i}\n")
+            for j in range(0, len(r), 60):
+                f.write(r[j : j + 60] + "\n")
+    return str(path)
+
+
+def test_output_matches_reference_binary(fasta, tmp_path):
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50)
+
+    # Ours.
+    codes, lengths = read_dna_buffer(fasta)  # also builds the .fai
+    kmerlist, hist = kmer_count(codes, lengths, cfg)
+    ours = dict(
+        zip(
+            (k.decode() for k in kmerlist.decoded()),
+            (int(c) for c in kmerlist.counts),
+        )
+    )
+
+    # Reference binary.
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    proc = subprocess.run(
+        [ORACLE_BIN, fasta, str(ref_out) + "/"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    theirs = {}
+    with open(ref_out / "0.out") as f:
+        for line in f:
+            if line.strip():
+                km, c = line.split("\t")
+                theirs[km] = int(c)
+
+    assert ours == theirs
+    assert len(ours) > 0
+
+    # Histogram text equality.
+    ref_hist = writer.parse_histogram(proc.stdout)
+    our_hist = writer.parse_histogram(writer.format_histogram(hist))
+    assert our_hist == ref_hist
