@@ -36,6 +36,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device sort backend")
     p.add_argument("--single-device", action="store_true",
                    help="force the single-chip pipeline even on a multi-device mesh")
+    p.add_argument("--extension", action="store_true",
+                   help="EXT mode: carry (ReadId, PosInRead) payloads")
+    p.add_argument("--stream-batch-bases", type=int, default=0,
+                   help="stream the input in device batches of this many "
+                        "bases (0 = one shot); bounds HBM usage")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address for jax.distributed")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--no-histogram", action="store_true")
     return p
 
@@ -53,7 +62,15 @@ def main(argv=None) -> int:
     cfg = KmerConfig(
         k=args.k, m=args.m, lower=args.lower, upper=args.upper,
         combiner=args.combiner, sort_backend=args.sort,
+        extension=args.extension,
     )
+
+    if args.coordinator:
+        from .parallel.multihost import initialize_distributed
+
+        initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
 
     log = Logger()
     devices = jax.devices()
@@ -69,7 +86,21 @@ def main(argv=None) -> int:
              f"({codes.size / max(timer.last('read_fasta'), 1e-9) / 1e6:.1f} Mb/s)")
 
     with timer.span("kmer_count"):
-        if len(devices) > 1 and not args.single_device:
+        if args.extension:
+            from . import count_reads_ext
+
+            kmerlist, hist = count_reads_ext(codes, lengths, cfg)
+        elif args.stream_batch_bases:
+            from .runtime.scheduler import count_reads_streaming
+
+            kmerlist, hist = count_reads_streaming(
+                codes, lengths, cfg, args.stream_batch_bases
+            )
+        elif jax.process_count() > 1:
+            from .parallel.multihost import count_fasta_multihost
+
+            kmerlist, hist = count_fasta_multihost(args.fasta, cfg)
+        elif len(devices) > 1 and not args.single_device:
             from .parallel.pipeline import count_reads_sharded
 
             kmerlist, hist = count_reads_sharded(codes, lengths, cfg)

@@ -58,9 +58,9 @@ def sort_keys(
     n_words = len(words)
     marked = apply_sentinel(invalid, words)
     if backend == "pallas":
-        from . import radix
+        from . import pallas_sort
 
-        sorted_words, sorted_payloads = radix.radix_sort_keys(
+        sorted_words, sorted_payloads = pallas_sort.sort_words(
             marked, list(payloads)
         )
     else:

@@ -1,0 +1,135 @@
+"""Multi-host orchestration: distributed init, per-host reading, global mesh.
+
+The reference scales across nodes with MPI ranks + Scatterv partitioning
+(src/fastaindex.cpp:102-200). The TPU equivalents:
+
+  * jax.distributed.initialize()   <-> MPI_Init across hosts
+  * per-host .fai partition        <-> root getpartition + Scatterv (every
+    host parses the small .fai itself and takes its slice; no root needed)
+  * jax.make_array_from_process_local_data assembles the globally-sharded
+    flat (codes, valid) arrays over a DCN x ICI mesh
+  * the shard_map pipeline (parallel/pipeline.py) then runs unchanged —
+    XLA routes the all_to_all over ICI within a host and DCN across hosts.
+
+Single-process degenerates to the plain sharded pipeline, which is how CI
+covers this module; real multi-host needs a pod slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import KmerConfig
+from ..pipeline import KmerList
+from .mesh import SHARD_AXIS
+from . import pipeline as shard_pipeline
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Bring up the multi-host runtime (no-op if single-process or already up)."""
+    if jax.process_count() > 1:
+        return
+    if coordinator_address is None:
+        return  # single-host
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def read_my_shard(
+    fasta_path: str, cfg: KmerConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """Each host reads its base-balanced slice of the FASTA.
+
+    Unlike the reference (root parses + Scatterv, fastaindex.cpp:137-176),
+    every host parses the small .fai independently and seeks its own byte
+    range — no broadcast needed.
+    """
+    from ..io import fasta as fasta_io
+
+    records = fasta_io.load_or_build_fai(fasta_path)
+    parts = fasta_io.partition_records(records, jax.process_count())
+    mine = [records[i] for i in parts[jax.process_index()]]
+    return fasta_io.read_records(fasta_path, mine)
+
+
+def count_fasta_multihost(
+    fasta_path: str, cfg: KmerConfig
+) -> tuple[KmerList, np.ndarray]:
+    """Full multi-host pipeline: per-host read -> global mesh -> exchange count.
+
+    Returns this host's shard of the filtered list plus the global histogram.
+    """
+    mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
+    n_local_dev = jax.local_device_count()
+    num_shards = mesh.devices.size
+
+    codes, lengths = read_my_shard(fasta_path, cfg)
+    # Distribute this host's reads over its local devices.
+    local_codes, local_valid = shard_pipeline.distribute_reads(
+        codes, lengths, cfg, n_local_dev
+    )
+    block = local_codes.shape[0] // n_local_dev
+
+    # Equalize block sizes across hosts (DCN all-to-all needs a uniform
+    # global shape): pad to the max block via a process allgather.
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        max_block = int(
+            multihost_utils.process_allgather(np.asarray(block)).max()
+        )
+    else:
+        max_block = block
+    if max_block != block:
+        lc = local_codes.reshape(n_local_dev, block)
+        lv = local_valid.reshape(n_local_dev, block)
+        pad = max_block - block
+        lc = np.pad(lc, ((0, 0), (0, pad)))
+        lv = np.pad(lv, ((0, 0), (0, pad)))
+        local_codes, local_valid = lc.reshape(-1), lv.reshape(-1)
+        block = max_block
+
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+    global_shape = (num_shards * block,)
+    codes_g = jax.make_array_from_process_local_data(
+        sharding, local_codes.astype(np.int8), global_shape
+    )
+    valid_g = jax.make_array_from_process_local_data(
+        sharding, local_valid, global_shape
+    )
+
+    capacity = max(int(block / num_shards * cfg.capacity_factor), 64)
+    keys, cnt, keep, hist, overflow = shard_pipeline._count_sharded_jit(
+        codes_g, valid_g,
+        cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
+    )
+    if int(np.asarray(overflow)) != 0:
+        raise RuntimeError(
+            "exchange capacity overflow; raise cfg.capacity_factor"
+        )
+
+    # Each host keeps its addressable shards' results.
+    keep_local = np.concatenate(
+        [np.asarray(s.data) for s in keep.addressable_shards]
+    )
+    keys_local = np.concatenate(
+        [np.asarray(s.data) for s in keys.addressable_shards]
+    )
+    cnt_local = np.concatenate(
+        [np.asarray(s.data) for s in cnt.addressable_shards]
+    )
+    kmerlist = KmerList(
+        keys=keys_local[keep_local], counts=cnt_local[keep_local], k=cfg.k
+    )
+    return kmerlist, np.asarray(hist)

@@ -1,0 +1,143 @@
+"""Streaming device-batch scheduler: bounded HBM regardless of input size.
+
+The reference bounds memory by exchanging fixed-size rounds
+(MAX_SEND_BATCH, src/kmerops.cpp:587-1007). The TPU analogue streams the
+*input*: reads are processed in device batches of a fixed base budget; each
+batch is counted unfiltered (a per-batch combiner pass producing compacted
+{key, partial_count} lists, exactly the reference's ScatteredKmerList idea,
+src/kmerops.cpp:363-417), and the partial lists are merged in a final device
+pass (sort by key + weighted run-length sum, the analogue of
+count_sorted_kmerlist, src/kmerops.cpp:1447-1476).
+
+JAX's async dispatch gives double buffering for free: while batch i's device
+work runs, the host packs batch i+1.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import KmerConfig
+from ..pipeline import KmerList, _count_device
+
+
+def iter_read_batches(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    batch_bases: int,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Split (codes, lengths) into batches of whole reads, ~batch_bases each."""
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    start = 0
+    n = lengths.size
+    while start < n:
+        end = start
+        acc = 0
+        while end < n and (acc == 0 or acc + lengths[end] <= batch_bases):
+            acc += int(lengths[end])
+            end += 1
+        yield (
+            codes[offsets[start] : offsets[end]],
+            lengths[start:end],
+        )
+        start = end
+
+
+def count_reads_streaming(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    batch_bases: int = 1 << 26,
+) -> tuple[KmerList, np.ndarray]:
+    """Count k-mers of an arbitrarily large read set in bounded device memory.
+
+    Equivalent to count_reads() (asserted in tests); peak HBM is set by
+    batch_bases, not by the input size.
+    """
+    from ..io import fasta as fasta_io
+    from ..ops import count as count_ops
+    from ..ops import sort as sort_ops
+    import functools
+
+    partial_keys: list[np.ndarray] = []
+    partial_cnts: list[np.ndarray] = []
+
+    # Uniform device shape across batches: one compile for the whole stream
+    # (a fresh compile per batch would dwarf the compute on remote-compile
+    # backends). Oversized single reads still get their own (rare) shape.
+    target = -(-(batch_bases + 16) // cfg.pad_multiple) * cfg.pad_multiple
+
+    for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
+        flat, valid = fasta_io.flatten_for_device(
+            b_codes, b_lengths, cfg.k, cfg.pad_multiple
+        )
+        if flat.shape[0] < target:
+            pad = target - flat.shape[0]
+            flat = np.concatenate([flat, np.zeros(pad, flat.dtype)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        # Unfiltered per-batch pre-count (filter only applies to final totals).
+        keys, cnt, keep, _ = _count_device(
+            jnp.asarray(flat, jnp.int8),
+            jnp.asarray(valid),
+            cfg.k,
+            1,
+            65535,
+            cfg.sort_backend,
+        )
+        keep_np = np.asarray(keep)
+        partial_keys.append(np.asarray(keys)[keep_np])
+        partial_cnts.append(np.asarray(cnt)[keep_np])
+
+    if not partial_keys:
+        return (
+            KmerList(np.zeros((0, cfg.words), np.uint32), np.zeros(0, np.int32), cfg.k),
+            np.zeros(cfg.upper + 1, np.int32),
+        )
+
+    all_keys = np.concatenate(partial_keys, axis=0)
+    all_cnts = np.concatenate(partial_cnts, axis=0)
+    m = all_keys.shape[0]
+    pad = -m % cfg.pad_multiple
+    if pad:
+        all_keys = np.concatenate(
+            [all_keys, np.zeros((pad, cfg.words), np.uint32)]
+        )
+        all_cnts = np.concatenate([all_cnts, np.zeros(pad, np.int32)])
+    invalid = np.zeros(all_keys.shape[0], dtype=bool)
+    invalid[m:] = True
+
+    @functools.partial(
+        jax.jit, static_argnames=("words", "lower", "upper", "backend")
+    )
+    def merge(keys, cnts, invalid, *, words, lower, upper, backend):
+        wlist = [keys[:, w] for w in range(words)]
+        inv_s, words_s, payloads_s = sort_ops.sort_keys(
+            jnp.asarray(invalid), wlist, payloads=[cnts.astype(jnp.uint32)],
+            backend=backend,
+        )
+        svalid = inv_s == 0
+        head, total = count_ops.run_length_sum(
+            svalid, words_s, payloads_s[0].astype(jnp.int32)
+        )
+        keep = count_ops.frequency_filter(head, total, lower, upper)
+        hist = count_ops.histogram(keep, total, upper)
+        return jnp.stack(words_s, axis=-1), total, keep, hist
+
+    keys_s, total, keep, hist = merge(
+        jnp.asarray(all_keys),
+        jnp.asarray(all_cnts),
+        jnp.asarray(invalid),
+        words=cfg.words,
+        lower=cfg.lower,
+        upper=cfg.upper,
+        backend=cfg.sort_backend,
+    )
+    keep_np = np.asarray(keep)
+    return (
+        KmerList(np.asarray(keys_s)[keep_np], np.asarray(total)[keep_np], cfg.k),
+        np.asarray(hist),
+    )

@@ -1,0 +1,52 @@
+"""Streaming (bounded-memory) driver equals the one-shot pipeline."""
+
+import numpy as np
+
+from hysortk_tpu import KmerConfig, count_reads
+from hysortk_tpu.io import fasta as fasta_io
+from hysortk_tpu.runtime.scheduler import count_reads_streaming, iter_read_batches
+from hysortk_tpu import testing as oracle
+
+
+def test_batches_cover_reads_exactly():
+    rng = np.random.default_rng(1)
+    lengths = rng.integers(10, 50, size=30).astype(np.int64)
+    codes = rng.integers(0, 4, size=int(lengths.sum())).astype(np.uint8)
+    got_codes, got_lens = [], []
+    for bc, bl in iter_read_batches(codes, lengths, batch_bases=100):
+        assert bl.sum() <= 100 or bl.size == 1  # one oversized read allowed
+        got_codes.append(bc)
+        got_lens.append(bl)
+    assert np.array_equal(np.concatenate(got_codes), codes)
+    assert np.array_equal(np.concatenate(got_lens), lengths)
+
+
+def test_streaming_equals_oneshot():
+    rng = np.random.default_rng(77)
+    reads = oracle.random_reads(rng, 60, 35, 90)
+    reads = reads + reads[:25]
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+
+    one_list, one_hist = count_reads(codes, lengths, cfg)
+    # Tiny batches force many partial lists + a real merge.
+    st_list, st_hist = count_reads_streaming(
+        codes, lengths, cfg, batch_bases=500
+    )
+    assert st_list.as_dict() == one_list.as_dict()
+    assert np.array_equal(st_hist, one_hist)
+
+
+def test_streaming_duplicates_across_batches():
+    # The same kmer appearing in different batches must merge its counts.
+    read = "ACGTTGCAACGGTACGTACCGGTTACGTACGCAGT"
+    reads = [read] * 10
+    cfg = KmerConfig(k=31, m=17, lower=10, upper=10, pad_multiple=128)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    st_list, _ = count_reads_streaming(codes, lengths, cfg, batch_bases=40)
+    want = {
+        k.encode(): v
+        for k, v in oracle.oracle_filtered(reads, cfg.k, 10, 10).items()
+    }
+    assert st_list.as_dict() == want
+    assert len(want) > 0
