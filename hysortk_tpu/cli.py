@@ -54,6 +54,16 @@ def main(argv=None) -> int:
 
     import jax
 
+    try:
+        import os as _os
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+        )
+    except Exception:
+        pass
+
     from . import kmer_count, print_kmer_histogram, read_dna_buffer, write_output_file
     from .config import KmerConfig
     from .runtime.logger import Logger

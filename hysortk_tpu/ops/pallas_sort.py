@@ -1,28 +1,32 @@
 """On-chip hybrid sort in Pallas: the TPU's answer to PARADIS/RADULS.
 
-The reference spends most of its time in vendored CPU radix sorts
+The reference spends most of its runtime in vendored CPU radix sorts
 (dependency/Paradis, dependency/Raduls — SURVEY.md §2 #17-18). A radix
 scatter is hostile to the TPU's (8,128) tiling, so this kernel family uses
-comparison networks, which are pure dense vector ops:
+bitonic comparison networks, which are pure dense vector ops:
 
   Phase A — block bitonic sort: the input, viewed as (rows, 128) row-major,
   is cut into VMEM-resident blocks of B = R*128 elements; a full bitonic
   network sorts each block. Every compare-exchange partner i^j is fetched
   with two circular rolls (lane rolls for j<128, sublane rolls for j>=128)
-  and a bit-select — no gathers, no scatters, no data-dependent control flow.
+  and a bit-select — no gathers, no scatters, no data-dependent control
+  flow. Directions use *global* element indices, so blocks come out
+  alternately ascending/descending, exactly what the merge levels need.
 
-  Phase B — merge-path merge levels: sorted runs are pairwise merged. A
-  vectorized binary search (plain XLA, log(L) gathers over the run ends)
-  finds, for every C-element output chunk, the exact split (merge path) of
-  the two input runs; a Pallas kernel then DMAs the two <=C-element windows
-  into VMEM, masks run overhang with the all-ones sentinel, flips the second
-  window (an XOR-permutation, again just rolls), and runs the log(2C)-step
-  bitonic merge. Each level costs ~one read+write pass over HBM — the log^2
-  global-pass blowup of a plain bitonic sort over HBM never happens.
+  Phase B — fused global bitonic merge levels: for strides j >= B the
+  compare partners live in different blocks, which differ only in one bit of
+  the block index. A pallas kernel pulls 2^f partner blocks per grid step
+  (static index maps — block index XOR is pure arithmetic on the grid id)
+  and performs f cross-strides in VMEM per HBM pass; the remaining strides
+  j < B of each level are one more block-local pass. This keeps every HBM
+  offset static and cuts the classic log^2 global-pass blowup by f.
 
 Keys are W uint32 words compared lexicographically; any number of payload
 words ride along. Invalid slots must already carry the all-ones sentinel
-(ops/sort.py), which sorts last and pads run overhang safely.
+(ops/sort.py), which sorts last and pads safely.
+
+Mosaic notes: no select-of-booleans (i8->i1 truncation is unsupported) —
+all mask logic is and/or/xor of i1 or int32 bit arithmetic.
 """
 
 from __future__ import annotations
@@ -54,17 +58,15 @@ def _roll(x, shift, axis):
     """Circular roll that lowers on both Mosaic and the interpreter."""
     if _INTERPRET:
         return jnp.roll(x, shift, axis=axis)
-    return pltpu.roll(x, shift, axis)
+    # pltpu.roll requires a non-negative shift.
+    return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
 def _partner(x: jnp.ndarray, j: int) -> jnp.ndarray:
-    """Value at row-major logical index i^j of a (R, 128) array."""
-    rows = x.shape[0]
+    """Value at row-major logical index i^j of a (R, 128) array (j < R*128)."""
     if j >= LANES:
         q = j // LANES
-        bit = (
-            jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) & q
-        ) != 0
+        bit = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) & q) != 0
         return jnp.where(bit, _roll(x, q, 0), _roll(x, -q, 0))
     bit = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) & j) != 0
     return jnp.where(bit, _roll(x, j, 1), _roll(x, -j, 1))
@@ -80,18 +82,19 @@ def _lex_less_eq(a_words, b_words):
     return less, eq
 
 
-def _cex(arrs, n_words, j, take_min_if_low, i_idx):
-    """One compare-exchange step at XOR-distance j.
+def _cex_local(arrs, n_words, j, k_bitpos, i_global):
+    """Compare-exchange at roll distance j (< B) with global bitonic rule.
 
-    take_min_if_low: (shape) bool — for the element whose j-bit is 0, keep
-    the min (ascending region) or the max (descending region).
+    k_bitpos: bit position of the region size k in the global index —
+    take_min iff bit_k(i) == bit_j(i).
     """
     partners = [_partner(a, j) for a in arrs]
     less, eq = _lex_less_eq(arrs[:n_words], partners[:n_words])
     greater = ~(less | eq)
-    bit = (i_idx & j) != 0
-    take_min = take_min_if_low ^ bit
-    swap = jnp.where(take_min, greater, less)
+    bit_k = (i_global >> k_bitpos) & 1
+    bit_j = (i_global >> (int(j).bit_length() - 1)) & 1
+    take_min = (bit_k ^ bit_j) == 0
+    swap = (take_min & greater) | (~take_min & less)
     return [jnp.where(swap, p, a) for a, p in zip(arrs, partners)]
 
 
@@ -101,18 +104,8 @@ def _logical_index(shape) -> jnp.ndarray:
     return rows * LANES + cols
 
 
-def _xor_permute(x: jnp.ndarray, mask: int) -> jnp.ndarray:
-    """Permute a (R,128) row-major array by index XOR mask (e.g. a flip)."""
-    j = 1
-    while j <= mask:
-        if mask & j:
-            x = _partner(x, j)
-        j <<= 1
-    return x
-
-
 # ---------------------------------------------------------------------------
-# Phase A: block-local bitonic sort.
+# Phase A: block-local bitonic sort (global directions).
 # ---------------------------------------------------------------------------
 
 
@@ -122,15 +115,15 @@ def _block_sort_kernel(n_arrays: int, n_words: int, block_rows: int):
     def kernel(*refs):
         ins, outs = refs[:n_arrays], refs[n_arrays:]
         arrs = [r[:] for r in ins]
-        i_idx = _logical_index(arrs[0].shape)
+        beta = pl.program_id(0)
+        i_global = _logical_index(arrs[0].shape) + beta * B
         k = 2
         while k <= B:
-            asc = (i_idx & k) == 0 if k < B else jnp.ones(
-                i_idx.shape, jnp.bool_
-            )
             j = k // 2
             while j >= 1:
-                arrs = _cex(arrs, n_words, j, asc, i_idx)
+                arrs = _cex_local(
+                    arrs, n_words, j, int(k).bit_length() - 1, i_global
+                )
                 j //= 2
             k *= 2
         for o, a in zip(outs, arrs):
@@ -142,7 +135,8 @@ def _block_sort_kernel(n_arrays: int, n_words: int, block_rows: int):
 def block_bitonic_sort(
     arrays: Sequence[jnp.ndarray], n_words: int, block_rows: int
 ) -> list[jnp.ndarray]:
-    """Sort each B=block_rows*128 block of the (row-major) arrays ascending."""
+    """Bitonic-sort each B-element block; block b ascending iff bit_B(b*B)==0,
+    i.e. blocks alternate asc/desc — the orientation merge levels expect."""
     n = arrays[0].shape[0]
     assert n % (block_rows * LANES) == 0, (n, block_rows)
     n_blocks = n // (block_rows * LANES)
@@ -155,186 +149,205 @@ def block_bitonic_sort(
         grid=(n_blocks,),
         in_specs=[spec] * len(arrays),
         out_specs=[spec] * len(arrays),
-        out_shape=[
-            jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d
-        ],
+        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d],
         interpret=_INTERPRET,
     )(*arrs2d)
     return [o.reshape(n) for o in out]
 
 
 # ---------------------------------------------------------------------------
-# Phase B: merge-path pairwise merge of sorted runs.
+# Phase B: fused cross-block strides + block-local tails.
 # ---------------------------------------------------------------------------
 
 
-def _merge_partitions(words: Sequence[jnp.ndarray], run_len: int, chunk: int):
-    """For every C-element output chunk, the merge-path split of its run pair.
+def _cross_kernel(
+    n_arrays: int,
+    n_words: int,
+    block_rows: int,
+    s_group: tuple[int, ...],
+    k_blockbit: int,
+):
+    """Perform strides j = B*2^s for s in s_group (descending) in VMEM.
 
-    Returns (a_start, a_valid, b_start, b_valid) int32 arrays of length
-    n_chunks (global element indices / valid window lengths).
+    Each grid step owns one *group* of 2^f blocks (the blocks whose indices
+    differ only in bits [s_lo, s_lo+f)), DMAs them into VMEM, runs the f
+    cross-strides as member-array compare-exchanges (no rolls needed — the
+    partner is a different member), and DMAs them back. Groups tile the
+    block space, so every pass reads and writes each element exactly once.
     """
-    n = words[0].shape[0]
-    pairs = n // (2 * run_len)
-    chunks_per_pair = (2 * run_len) // chunk
-    n_chunks = pairs * chunks_per_pair
-
-    cidx = jnp.arange(n_chunks, dtype=jnp.int32)
-    pair = cidx // chunks_per_pair
-    t = (cidx % chunks_per_pair) * chunk  # output offset within the pair
-    a_base = pair * (2 * run_len)
-    b_base = a_base + run_len
-
-    lo = jnp.maximum(0, t - run_len)
-    hi = jnp.minimum(t, run_len)
-
-    def gather(idx):
-        return [w[idx] for w in words]
-
-    def cond(state):
-        lo, hi = state
-        return jnp.any(lo < hi)
-
-    def body(state):
-        lo, hi = state
-        mid = (lo + hi) // 2
-        # Compare A[mid] vs B[t - mid - 1]: if A[mid] < B[t-mid-1] (lex),
-        # the split lies right of mid.
-        a_vals = gather(a_base + jnp.minimum(mid, run_len - 1))
-        b_idx = jnp.clip(t - mid - 1, 0, run_len - 1)
-        b_vals = gather(b_base + b_idx)
-        less, eq = _lex_less_eq(a_vals, b_vals)
-        go_right = less | eq
-        new_lo = jnp.where(go_right, mid + 1, lo)
-        new_hi = jnp.where(go_right, hi, mid)
-        active = lo < hi
-        return (
-            jnp.where(active, new_lo, lo),
-            jnp.where(active, new_hi, hi),
-        )
-
-    lo, hi = jax.lax.while_loop(cond, body, (lo, hi))
-    ai = lo  # split: first ai elements of A-run are in output[:t]
-    bi = t - ai
-    a_start = a_base + ai
-    b_start = b_base + bi
-    a_valid = jnp.minimum(run_len - ai, chunk)
-    b_valid = jnp.minimum(run_len - bi, chunk)
-    return a_start, a_valid, b_start, b_valid
-
-
-def _merge_kernel(n_arrays: int, n_words: int, chunk: int):
-    rows2 = (2 * chunk) // LANES  # rows of the merged window
+    f = len(s_group)
+    n_members = 1 << f
+    s_lo = s_group[-1]
+    R = block_rows
 
     def kernel(*refs):
-        # scalar prefetch: a_start, a_valid, b_start, b_valid
-        a_start, a_valid, b_start, b_valid = refs[:4]
-        ins = refs[4 : 4 + n_arrays]
-        outs = refs[4 + n_arrays : 4 + 2 * n_arrays]
-        scratch = refs[4 + 2 * n_arrays : 4 + 3 * n_arrays]
-        sems = refs[4 + 3 * n_arrays]
+        ins = refs[:n_arrays]
+        outs = refs[n_arrays : 2 * n_arrays]
+        scratch = refs[2 * n_arrays : 3 * n_arrays]  # (n_members*R, 128)
+        sems = refs[3 * n_arrays]
 
         g = pl.program_id(0)
-        asg = a_start[g]
-        bsg = b_start[g]
+        if s_lo:
+            lo = jax.lax.rem(g, 1 << s_lo)
+            hi = jax.lax.div(g, 1 << s_lo)
+        else:
+            lo, hi = 0, g
+
+        def beta_of(m):
+            return (hi << (s_lo + f)) | (m << s_lo) | lo
 
         for x in range(n_arrays):
-            pltpu.make_async_copy(
-                ins[x].at[pl.ds(asg, chunk)],
-                scratch[x].at[pl.ds(0, chunk)],
-                sems.at[2 * x],
-            ).start()
-            pltpu.make_async_copy(
-                ins[x].at[pl.ds(bsg, chunk)],
-                scratch[x].at[pl.ds(chunk, chunk)],
-                sems.at[2 * x + 1],
-            ).start()
+            for m in range(n_members):
+                pltpu.make_async_copy(
+                    ins[x].at[pl.ds(beta_of(m) * R, R), :],
+                    scratch[x].at[pl.ds(m * R, R), :],
+                    sems.at[x * n_members + m],
+                ).start()
         for x in range(n_arrays):
-            pltpu.make_async_copy(
-                ins[x].at[pl.ds(asg, chunk)],
-                scratch[x].at[pl.ds(0, chunk)],
-                sems.at[2 * x],
-            ).wait()
-            pltpu.make_async_copy(
-                ins[x].at[pl.ds(bsg, chunk)],
-                scratch[x].at[pl.ds(chunk, chunk)],
-                sems.at[2 * x + 1],
-            ).wait()
+            for m in range(n_members):
+                pltpu.make_async_copy(
+                    ins[x].at[pl.ds(beta_of(m) * R, R), :],
+                    scratch[x].at[pl.ds(m * R, R), :],
+                    sems.at[x * n_members + m],
+                ).wait()
 
-        arrs = [s[:].reshape(rows2, LANES) for s in scratch]
-        i_idx = _logical_index(arrs[0].shape)
-
-        # Mask run overhang with the sentinel (key words only).
-        in_a = i_idx < chunk
-        pos_in_win = jnp.where(in_a, i_idx, i_idx - chunk)
-        valid = jnp.where(in_a, pos_in_win < a_valid[g], pos_in_win < b_valid[g])
-        for w in range(n_words):
-            arrs[w] = jnp.where(valid, arrs[w], _FULL32)
-
-        # Flip the B window (upper half) so the whole window is bitonic:
-        # indices chunk..2*chunk-1 reversed == XOR with (chunk-1) inside the
-        # half. Compute the fully flipped copy and select it for the B half.
-        flipped = [_xor_permute(a, chunk - 1) for a in arrs]
-        arrs = [
-            jnp.where(in_a, a, f) for a, f in zip(arrs, flipped)
+        vals = [
+            [scratch[x][m * R : (m + 1) * R, :] for m in range(n_members)]
+            for x in range(n_arrays)
         ]
-
-        # Bitonic merge: the sequence (asc A ++ desc B) sorts ascending with
-        # steps j = chunk .. 1.
-        asc = jnp.ones(i_idx.shape, jnp.bool_)
-        j = chunk
-        while j >= 1:
-            arrs = _cex(arrs, n_words, j, asc, i_idx)
-            j //= 2
-
-        rows_out = chunk // LANES
-        for o, a in zip(outs, arrs):
-            o[:] = a[:rows_out].reshape(chunk)
+        for s in s_group:  # descending strides
+            bitpos = s - s_lo  # bit of the member index for this stride
+            for m in range(n_members):
+                if (m >> bitpos) & 1:
+                    continue  # handled with its lower partner
+                pm = m | (1 << bitpos)
+                lo_w = [vals[x][m] for x in range(n_arrays)]
+                hi_w = [vals[x][pm] for x in range(n_arrays)]
+                less, eq = _lex_less_eq(hi_w[:n_words], lo_w[:n_words])
+                greater = ~(less | eq)  # hi > lo
+                # take_min for the lower member iff the region bit is 0;
+                # that bit is outside the member bits, so it is uniform
+                # across the group members of this pair.
+                bit_k = (beta_of(m) >> k_blockbit) & 1
+                take_min = bit_k == 0
+                swap = (take_min & less) | (~take_min & greater)
+                for x in range(n_arrays):
+                    new_lo = jnp.where(swap, hi_w[x], lo_w[x])
+                    new_hi = jnp.where(swap, lo_w[x], hi_w[x])
+                    vals[x][m] = new_lo
+                    vals[x][pm] = new_hi
+        for x in range(n_arrays):
+            for m in range(n_members):
+                scratch[x][m * R : (m + 1) * R, :] = vals[x][m]
+        for x in range(n_arrays):
+            for m in range(n_members):
+                pltpu.make_async_copy(
+                    scratch[x].at[pl.ds(m * R, R), :],
+                    outs[x].at[pl.ds(beta_of(m) * R, R), :],
+                    sems.at[x * n_members + m],
+                ).start()
+        for x in range(n_arrays):
+            for m in range(n_members):
+                pltpu.make_async_copy(
+                    scratch[x].at[pl.ds(m * R, R), :],
+                    outs[x].at[pl.ds(beta_of(m) * R, R), :],
+                    sems.at[x * n_members + m],
+                ).wait()
 
     return kernel
 
 
-def merge_level(
+def _tail_kernel(n_arrays: int, n_words: int, block_rows: int, k_bitpos: int):
+    """Strides j = B/2 .. 1 of one merge level, block-local."""
+    B = block_rows * LANES
+
+    def kernel(*refs):
+        ins, outs = refs[:n_arrays], refs[n_arrays:]
+        arrs = [r[:] for r in ins]
+        beta = pl.program_id(0)
+        i_global = _logical_index(arrs[0].shape) + beta * B
+        j = B // 2
+        while j >= 1:
+            arrs = _cex_local(arrs, n_words, j, k_bitpos, i_global)
+            j //= 2
+        for o, a in zip(outs, arrs):
+            o[:] = a
+
+    return kernel
+
+
+def merge_levels(
     arrays: Sequence[jnp.ndarray],
     n_words: int,
-    run_len: int,
-    chunk: int,
+    block_rows: int,
+    fuse_bits: int = 3,
 ) -> list[jnp.ndarray]:
-    """One bottom-up merge level: sorted runs of run_len -> runs of 2*run_len."""
+    """Run all bitonic merge levels above the block size."""
     n = arrays[0].shape[0]
-    assert n % (2 * run_len) == 0, (n, run_len)
-    a_start, a_valid, b_start, b_valid = _merge_partitions(
-        list(arrays[:n_words]), run_len, chunk
+    block = block_rows * LANES
+    n_blocks = n // block
+    arrs2d = [a.reshape(n // LANES, LANES) for a in arrays]
+    n_arrays = len(arrays)
+
+    tail_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
     )
-    n_chunks = a_start.shape[0]
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    # Pad the source arrays so window DMAs never run off the end.
-    padded = [
-        jnp.concatenate([a, jnp.full((chunk,), _FULL32, dtype=a.dtype)])
-        for a in arrays
-    ]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(arrays),
-        out_specs=[
-            # index_map receives (grid_idx, *scalar_prefetch_refs).
-            pl.BlockSpec(
-                (chunk,), lambda g, *_: (g,), memory_space=pltpu.VMEM
+    k = 2 * block
+    while k <= n:
+        u = int(k // block).bit_length() - 2  # k = 2B * 2^u
+        k_blockbit = u + 1  # bit of the block index
+        k_bitpos = int(k).bit_length() - 1  # bit of the global index
+        # Cross strides: s = u .. 0 (j = B * 2^s), fused in contiguous
+        # bit-range groups of at most fuse_bits.
+        s_list = list(range(u, -1, -1))
+        idx = 0
+        while idx < len(s_list):
+            group = tuple(s_list[idx : idx + fuse_bits])
+            idx += len(group)
+            f = len(group)
+            n_groups = n_blocks >> f
+            arrs2d = list(
+                pl.pallas_call(
+                    _cross_kernel(
+                        n_arrays, n_words, block_rows, group, k_blockbit
+                    ),
+                    grid=(n_groups,),
+                    in_specs=[any_spec] * n_arrays,
+                    out_specs=[any_spec] * n_arrays,
+                    out_shape=[
+                        jax.ShapeDtypeStruct(a.shape, a.dtype)
+                        for a in arrs2d
+                    ],
+                    scratch_shapes=[
+                        pltpu.VMEM(
+                            ((1 << f) * block_rows, LANES), jnp.uint32
+                        )
+                        for _ in range(n_arrays)
+                    ]
+                    + [pltpu.SemaphoreType.DMA((n_arrays * (1 << f),))],
+                    compiler_params=pltpu.CompilerParams(
+                        has_side_effects=True
+                    ),
+                    interpret=_INTERPRET,
+                )(*arrs2d)
             )
-        ]
-        * len(arrays),
-        scratch_shapes=[pltpu.VMEM((2 * chunk,), jnp.uint32)] * len(arrays)
-        + [pltpu.SemaphoreType.DMA((2 * len(arrays),))],
-    )
-    out = pl.pallas_call(
-        _merge_kernel(len(arrays), n_words, chunk),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n,), a.dtype) for a in arrays],
-        interpret=_INTERPRET,
-    )(a_start, a_valid, b_start, b_valid, *padded)
-    return list(out)
+        # Local tail for this level (strides j < B).
+        arrs2d = list(
+            pl.pallas_call(
+                _tail_kernel(n_arrays, n_words, block_rows, k_bitpos),
+                grid=(n_blocks,),
+                in_specs=[tail_spec] * n_arrays,
+                out_specs=[tail_spec] * n_arrays,
+                out_shape=[
+                    jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d
+                ],
+                interpret=_INTERPRET,
+            )(*arrs2d)
+        )
+        k *= 2
+    return [a.reshape(n) for a in arrs2d]
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +359,7 @@ def sort_words(
     words: Sequence[jnp.ndarray],
     payloads: Sequence[jnp.ndarray] = (),
     block_rows: int = 128,
-    chunk: int = 4096,
+    fuse_bits: int = 3,
 ) -> tuple[list[jnp.ndarray], list[jnp.ndarray]]:
     """Sort 1-D uint32 key words (lexicographic) with payloads, ascending.
 
@@ -378,10 +391,8 @@ def sort_words(
         ]
 
     arrays = block_bitonic_sort(arrays, n_words, block_rows)
-    run = block
-    while run < n_pad:
-        arrays = merge_level(arrays, n_words, run, min(chunk, run))
-        run *= 2
+    if n_pad > block:
+        arrays = merge_levels(arrays, n_words, block_rows, fuse_bits)
 
     arrays = [a[:n] for a in arrays]
     return arrays[:n_words], arrays[n_words:]

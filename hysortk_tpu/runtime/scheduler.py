@@ -80,7 +80,7 @@ def count_reads_streaming(
             flat = np.concatenate([flat, np.zeros(pad, flat.dtype)])
             valid = np.concatenate([valid, np.zeros(pad, bool)])
         # Unfiltered per-batch pre-count (filter only applies to final totals).
-        keys, cnt, keep, _ = _count_device(
+        keys, cnt, keep = _count_device(
             jnp.asarray(flat, jnp.int8),
             jnp.asarray(valid),
             cfg.k,
@@ -124,10 +124,9 @@ def count_reads_streaming(
             svalid, words_s, payloads_s[0].astype(jnp.int32)
         )
         keep = count_ops.frequency_filter(head, total, lower, upper)
-        hist = count_ops.histogram(keep, total, upper)
-        return jnp.stack(words_s, axis=-1), total, keep, hist
+        return jnp.stack(words_s, axis=-1), total, keep
 
-    keys_s, total, keep, hist = merge(
+    keys_s, total, keep = merge(
         jnp.asarray(all_keys),
         jnp.asarray(all_cnts),
         jnp.asarray(invalid),
@@ -136,8 +135,10 @@ def count_reads_streaming(
         upper=cfg.upper,
         backend=cfg.sort_backend,
     )
+    from ..pipeline import host_histogram
+
     keep_np = np.asarray(keep)
-    return (
-        KmerList(np.asarray(keys_s)[keep_np], np.asarray(total)[keep_np], cfg.k),
-        np.asarray(hist),
+    result = KmerList(
+        np.asarray(keys_s)[keep_np], np.asarray(total)[keep_np], cfg.k
     )
+    return result, host_histogram(result.counts, cfg.upper)

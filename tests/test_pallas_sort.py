@@ -17,12 +17,12 @@ def _ref_sort(words, payloads):
     return [w[order] for w in words], [p[order] for p in payloads]
 
 
-def _run(words, payloads=(), block_rows=2, chunk=256):
+def _run(words, payloads=(), block_rows=2, fuse_bits=2):
     got_w, got_p = pallas_sort.sort_words(
         [jnp.asarray(w) for w in words],
         [jnp.asarray(p) for p in payloads],
         block_rows=block_rows,
-        chunk=chunk,
+        fuse_bits=fuse_bits,
     )
     return [np.asarray(w) for w in got_w], [np.asarray(p) for p in got_p]
 
@@ -94,7 +94,7 @@ def test_multi_block_merge_levels():
     n = 2048
     w0 = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
     w1 = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
-    got_w, _ = _run([w0, w1], block_rows=2, chunk=256)
+    got_w, _ = _run([w0, w1], block_rows=2, fuse_bits=2)
     want_w, _ = _ref_sort([w0, w1], [])
     _check_sorted_equal(got_w, want_w)
 
