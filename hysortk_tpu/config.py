@@ -49,6 +49,13 @@ class KmerConfig:
     extension: bool = False
 
     # Distribution knobs (multi-device path).
+    # routing: "kmer_hash" routes by a hash of the whole canonical key
+    # (uniform by construction); "minimizer" reproduces the reference's
+    # virtual-task scheme — dest bucket = minimizer hash % (shards *
+    # avg_buckets_per_shard), with bucket->shard placement computed by the
+    # balanced dispatcher from measured bucket sizes
+    # (reference src/kmerops.cpp:1044-1047, 1274-1327).
+    routing: str = "kmer_hash"
     avg_buckets_per_shard: int = 3
     heavy_ratio: float = 2.3
     combiner: bool = False
@@ -79,6 +86,8 @@ class KmerConfig:
             )
         if self.sort_backend not in ("xla", "pallas"):
             raise ValueError(f"unknown sort backend {self.sort_backend!r}")
+        if self.routing not in ("kmer_hash", "minimizer"):
+            raise ValueError(f"unknown routing {self.routing!r}")
 
     @property
     def words(self) -> int:

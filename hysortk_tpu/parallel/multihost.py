@@ -109,9 +109,23 @@ def count_fasta_multihost(
         sharding, local_valid, global_shape
     )
 
+    import jax.numpy as jnp
+
+    if cfg.routing == "minimizer":
+        from . import dispatch
+
+        sizes = np.asarray(
+            shard_pipeline._bucket_sizes_jit(
+                codes_g, valid_g, cfg=cfg, num_shards=num_shards, mesh=mesh
+            )
+        )
+        assign = jnp.asarray(dispatch.balanced_assignment(sizes, num_shards))
+    else:
+        assign = jnp.zeros(1, dtype=jnp.int32)
+
     capacity = max(int(block / num_shards * cfg.capacity_factor), 64)
     keys, cnt, keep, hist, overflow = shard_pipeline._count_sharded_jit(
-        codes_g, valid_g,
+        codes_g, valid_g, assign,
         cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
     )
     if int(np.asarray(overflow)) != 0:

@@ -41,22 +41,54 @@ from . import exchange
 from .mesh import SHARD_AXIS, make_mesh
 
 
-def _shard_body(codes, valid, *, cfg: KmerConfig, num_shards: int, capacity: int):
-    """Per-shard computation (runs under shard_map; axis SHARD_AXIS)."""
+def _shard_body(
+    codes, valid, assign, *, cfg: KmerConfig, num_shards: int, capacity: int
+):
+    """Per-shard computation (runs under shard_map; axis SHARD_AXIS).
+
+    assign: (num_buckets,) int32 bucket->shard table (minimizer routing), or
+    a length-1 dummy for kmer_hash routing.
+    """
     codes = codes.astype(jnp.int32)
     words = kmer_ops.canonical_words(codes, cfg.k)
     invalid = (~valid).astype(jnp.uint32)
-    dest = hashes.mix_words(words) % jnp.uint32(num_shards)
+
+    if cfg.routing == "minimizer":
+        from ..ops import minimizer as minimizer_ops
+
+        num_buckets = num_shards * cfg.avg_buckets_per_shard
+        bucket = minimizer_ops.kmer_destinations(
+            codes, cfg.k, cfg.m, num_buckets
+        )
+        dest = assign[bucket].astype(jnp.uint32)
+    else:
+        bucket = None
+        dest = hashes.mix_words(words) % jnp.uint32(num_shards)
 
     if cfg.combiner:
-        # Local pre-aggregation: one entry per distinct local key.
-        inv_s, words_s, _ = sort_ops.sort_keys(
-            invalid, words, backend=cfg.sort_backend
+        # Local pre-aggregation: one entry per distinct local key. With
+        # minimizer routing the bucket id rides as the leading sort word
+        # (equal keys share their minimizer, so (bucket, key) runs == key
+        # runs) because the minimizer is positional and would be lost after
+        # the sort.
+        if cfg.routing == "minimizer":
+            sort_words_in = [bucket.astype(jnp.uint32), *words]
+        else:
+            sort_words_in = list(words)
+        inv_s, words_s_all, _ = sort_ops.sort_keys(
+            invalid, sort_words_in, backend=cfg.sort_backend
         )
         svalid = inv_s == 0
-        head, local_cnt = count_ops.run_length_count(svalid, words_s)
+        head, local_cnt = count_ops.run_length_count(svalid, words_s_all)
         entry_invalid = (~head).astype(jnp.uint32)
-        entry_dest = hashes.mix_words(words_s) % jnp.uint32(num_shards)
+        if cfg.routing == "minimizer":
+            words_s = words_s_all[1:]
+            entry_dest = assign[words_s_all[0].astype(jnp.int32)].astype(
+                jnp.uint32
+            )
+        else:
+            words_s = words_s_all
+            entry_dest = hashes.mix_words(words_s) % jnp.uint32(num_shards)
         send_w, send_p, counts, overflow = exchange.pack_by_destination(
             entry_invalid, entry_dest, words_s, [local_cnt.astype(jnp.uint32)],
             num_shards, capacity,
@@ -101,15 +133,40 @@ def _shard_body(codes, valid, *, cfg: KmerConfig, num_shards: int, capacity: int
 @functools.partial(
     jax.jit, static_argnames=("cfg", "num_shards", "capacity", "mesh")
 )
-def _count_sharded_jit(codes, valid, *, cfg, num_shards, capacity, mesh):
+def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh):
     body = functools.partial(
         _shard_body, cfg=cfg, num_shards=num_shards, capacity=capacity
     )
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P()),
         out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+        check_rep=False,
+    )(codes, valid, assign)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_shards", "mesh"))
+def _bucket_sizes_jit(codes, valid, *, cfg, num_shards, mesh):
+    """Global per-bucket k-mer counts (the classifier/dispatcher input —
+    reference Reduce of task sizes, src/kmerops.cpp:1157-1199)."""
+    from ..ops import minimizer as minimizer_ops
+    from . import dispatch
+
+    num_buckets = num_shards * cfg.avg_buckets_per_shard
+
+    def body(codes, valid):
+        bucket = minimizer_ops.kmer_destinations(
+            codes.astype(jnp.int32), cfg.k, cfg.m, num_buckets
+        )
+        sizes = dispatch.bucket_sizes_device(bucket, valid, num_buckets)
+        return jax.lax.psum(sizes, SHARD_AXIS)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=P(),
         check_rep=False,
     )(codes, valid)
 
@@ -135,10 +192,24 @@ def count_flat_sharded(
     codes_j = jnp.asarray(codes, dtype=jnp.int8)
     valid_j = jnp.asarray(valid)
 
+    if cfg.routing == "minimizer":
+        from . import dispatch
+
+        sizes = np.asarray(
+            _bucket_sizes_jit(
+                codes_j, valid_j, cfg=cfg, num_shards=num_shards, mesh=mesh
+            )
+        )
+        assign = jnp.asarray(
+            dispatch.balanced_assignment(sizes, num_shards)
+        )
+    else:
+        assign = jnp.zeros(1, dtype=jnp.int32)
+
     capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
     for _attempt in range(4):
         keys, cnt, keep, hist, overflow = _count_sharded_jit(
-            codes_j, valid_j,
+            codes_j, valid_j, assign,
             cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
         )
         if int(jax.device_get(overflow)) == 0:

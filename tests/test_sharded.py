@@ -73,3 +73,18 @@ def test_each_kmer_counted_on_exactly_one_shard():
     want = _expect(reads, cfg)
     assert got == want
     assert len(got) > 0  # every distinct kmer should have count exactly 8
+
+
+@pytest.mark.parametrize("combiner", [False, True])
+def test_minimizer_routing_matches_oracle(combiner):
+    rng = np.random.default_rng(29)
+    reads = oracle.random_reads(rng, 40, 35, 90)
+    reads = reads + reads[:18]
+    cfg = KmerConfig(
+        k=31, m=17, lower=2, upper=50, routing="minimizer",
+        combiner=combiner, avg_buckets_per_shard=3, pad_multiple=256,
+        capacity_factor=3.0,
+    )
+    got, hist = _run(reads, cfg)
+    want = _expect(reads, cfg)
+    assert got == want
