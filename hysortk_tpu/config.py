@@ -65,8 +65,12 @@ class KmerConfig:
     # reference's DISPATCH_UPPER_COE sweep (reference: Makefile:28-33).
     capacity_factor: float = 1.6
 
-    # Sort backend: "xla" (lax.sort) or "pallas" (on-chip radix sort).
+    # Sort backend: "xla" (lax.sort) or "pallas" (on-chip bitonic sort).
     sort_backend: str = "xla"
+
+    # Build canonical keys in one fused Pallas kernel (ops/keybuild.py)
+    # instead of ~20 XLA roll passes. Semantics identical; single-chip path.
+    fuse_keybuild: bool = False
 
     # Device batch sizing: flat base-stream padding granularity.
     pad_multiple: int = 1024

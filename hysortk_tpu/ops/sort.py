@@ -55,16 +55,27 @@ def sort_keys(
     Returns (sorted_invalid, sorted_words, sorted_payloads), where
     sorted_invalid is uint32 (0 = valid, 1 = invalid) for compatibility.
     """
-    n_words = len(words)
     marked = apply_sentinel(invalid, words)
+    return sort_marked(marked, payloads, backend)
+
+
+def sort_marked(
+    marked: Sequence[jnp.ndarray],
+    payloads: Sequence[jnp.ndarray] = (),
+    backend: str = "xla",
+) -> tuple[jnp.ndarray, list[jnp.ndarray], list[jnp.ndarray]]:
+    """Sort keys already carrying the all-ones invalid sentinel."""
+    n_words = len(marked)
     if backend == "pallas":
         from . import pallas_sort
 
         sorted_words, sorted_payloads = pallas_sort.sort_words(
-            marked, list(payloads)
+            list(marked), list(payloads)
         )
     else:
-        out = jax.lax.sort((*marked, *payloads), num_keys=n_words, is_stable=False)
+        out = jax.lax.sort(
+            (*marked, *payloads), num_keys=n_words, is_stable=False
+        )
         sorted_words = list(out[:n_words])
         sorted_payloads = list(out[n_words:])
     inv_sorted = (~sentinel_valid(sorted_words)).astype(jnp.uint32)

@@ -288,3 +288,148 @@ def count_reads_sharded(
         codes, lengths, cfg, mesh.devices.size
     )
     return count_flat_sharded(flat_codes, flat_valid, cfg, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Extension (EXT=1) sharded pipeline: (ReadId, PosInRead) through the
+# exchange — the reference's EXTENSION length_t wire format
+# (include/kmer.hpp:346-360). The heavy-hitter/combiner path is unavailable
+# in EXT mode, same restriction as the reference (src/kmerops.cpp:109-113).
+# ---------------------------------------------------------------------------
+
+
+def _shard_body_ext(
+    codes, valid, rid, pos, *, cfg: KmerConfig, num_shards: int, capacity: int
+):
+    codes = codes.astype(jnp.int32)
+    words = kmer_ops.canonical_words(codes, cfg.k)
+    invalid = (~valid).astype(jnp.uint32)
+    dest = hashes.mix_words(words) % jnp.uint32(num_shards)
+
+    send_w, send_p, counts, overflow = exchange.pack_by_destination(
+        invalid, dest, words,
+        [rid.astype(jnp.uint32), pos.astype(jnp.uint32)],
+        num_shards, capacity,
+    )
+    recv_w, recv_p, _, recv_valid = exchange.all_to_all_exchange(
+        send_w, send_p, counts, SHARD_AXIS
+    )
+
+    flat_w = [w.reshape(-1) for w in recv_w]
+    flat_p = [p.reshape(-1) for p in recv_p]
+    flat_invalid = (~recv_valid.reshape(-1)).astype(jnp.uint32)
+
+    inv_s, words_s, payloads_s = sort_ops.sort_keys(
+        flat_invalid, flat_w, payloads=flat_p, backend=cfg.sort_backend
+    )
+    svalid = inv_s == 0
+    head, cnt = count_ops.run_length_count(svalid, words_s)
+    keep = count_ops.frequency_filter(head, cnt, cfg.lower, cfg.upper)
+    overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
+    keys = jnp.stack(words_s, axis=-1)
+    return keys, cnt, keep, payloads_s[0], payloads_s[1], overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_shards", "capacity", "mesh")
+)
+def _count_sharded_ext_jit(
+    codes, valid, rid, pos, *, cfg, num_shards, capacity, mesh
+):
+    body = functools.partial(
+        _shard_body_ext, cfg=cfg, num_shards=num_shards, capacity=capacity
+    )
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 4,
+        out_specs=(P(SHARD_AXIS),) * 5 + (P(),),
+        check_rep=False,
+    )(codes, valid, rid, pos)
+
+
+def count_reads_sharded_ext(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    mesh: Optional[Mesh] = None,
+    read_id_offset: int = 0,
+) -> tuple["KmerListExt", np.ndarray]:
+    """Sharded EXT pipeline: per-kmer (rid, pos) occurrence lists."""
+    from ..io import fasta as fasta_io
+    from ..pipeline import KmerListExt, host_histogram
+
+    mesh = mesh or make_mesh()
+    num_shards = mesh.devices.size
+
+    # Distribute reads, then build rid/pos per shard block with global ids.
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    per_shard: list[list[int]] = [[] for _ in range(num_shards)]
+    total = int(lengths.sum())
+    target = total / num_shards if num_shards else 0
+    shard, acc = 0, 0
+    for i, ln in enumerate(lengths):
+        if shard < num_shards - 1 and acc > 0 and acc + ln / 2 > target:
+            shard += 1
+            acc = 0
+        per_shard[shard].append(i)
+        acc += int(ln)
+
+    blocks = []
+    for part in per_shard:
+        if part:
+            c = np.concatenate(
+                [codes[offsets[i] : offsets[i + 1]] for i in part]
+            )
+            l = lengths[np.asarray(part, dtype=np.int64)]
+            base = read_id_offset + part[0]
+        else:
+            c = np.zeros(0, dtype=codes.dtype)
+            l = np.zeros(0, dtype=np.int64)
+            base = read_id_offset
+        blocks.append(
+            fasta_io.flatten_for_device_ext(
+                c, l, cfg.k, cfg.pad_multiple, base
+            )
+        )
+    block_len = max(b[0].shape[0] for b in blocks)
+    sc = np.zeros((num_shards, block_len), dtype=np.int8)
+    sv = np.zeros((num_shards, block_len), dtype=bool)
+    sr = np.zeros((num_shards, block_len), dtype=np.int32)
+    sp = np.zeros((num_shards, block_len), dtype=np.uint32)
+    for s, (c, v, r, p) in enumerate(blocks):
+        sc[s, : c.shape[0]] = c
+        sv[s, : v.shape[0]] = v
+        sr[s, : r.shape[0]] = r
+        sp[s, : p.shape[0]] = p
+
+    n_local = block_len
+    capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
+    for _attempt in range(4):
+        keys, cnt, keep, srid, spos, overflow = _count_sharded_ext_jit(
+            jnp.asarray(sc.reshape(-1)),
+            jnp.asarray(sv.reshape(-1)),
+            jnp.asarray(sr.reshape(-1)),
+            jnp.asarray(sp.reshape(-1)),
+            cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
+        )
+        if int(jax.device_get(overflow)) == 0:
+            break
+        capacity *= 2
+    else:
+        raise RuntimeError("exchange capacity overflow after 4 doublings")
+
+    keep_np = np.asarray(keep)
+    cnt_np = np.asarray(cnt)
+    srid_np = np.asarray(srid).astype(np.int32)
+    spos_np = np.asarray(spos).astype(np.uint32)
+    starts = np.flatnonzero(keep_np)
+    counts = cnt_np[starts]
+    result = KmerListExt(
+        keys=np.asarray(keys)[keep_np],
+        counts=counts,
+        k=cfg.k,
+        pos=[spos_np[s : s + c] for s, c in zip(starts, counts)],
+        rid=[srid_np[s : s + c] for s, c in zip(starts, counts)],
+    )
+    return result, host_histogram(result.counts, cfg.upper)

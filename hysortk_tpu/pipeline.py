@@ -160,7 +160,10 @@ def count_reads_ext(
     return count_flat_ext(flat, valid, rid, pos, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "lower", "upper", "sort_backend"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "lower", "upper", "sort_backend", "fuse_keybuild"),
+)
 def _count_device(
     codes: jnp.ndarray,
     valid: jnp.ndarray,
@@ -168,11 +171,20 @@ def _count_device(
     lower: int,
     upper: int,
     sort_backend: str,
+    fuse_keybuild: bool = False,
 ):
-    """codes (N,) int8, valid (N,) bool -> sorted keys, counts, keep mask, hist."""
-    words = kmer_ops.canonical_words(codes.astype(jnp.int32), k)
-    invalid = (~valid).astype(jnp.uint32)
-    inv_s, words_s, _ = sort_ops.sort_keys(invalid, words, backend=sort_backend)
+    """codes (N,) int8, valid (N,) bool -> sorted keys, counts, keep mask."""
+    if fuse_keybuild:
+        from .ops import keybuild
+
+        marked = keybuild.canonical_keys_fused(codes, valid, k)
+        inv_s, words_s, _ = sort_ops.sort_marked(marked, backend=sort_backend)
+    else:
+        words = kmer_ops.canonical_words(codes.astype(jnp.int32), k)
+        invalid = (~valid).astype(jnp.uint32)
+        inv_s, words_s, _ = sort_ops.sort_keys(
+            invalid, words, backend=sort_backend
+        )
     svalid = inv_s == 0
     head, cnt = count_ops.run_length_count(svalid, words_s)
     keep = count_ops.frequency_filter(head, cnt, lower, upper)
@@ -201,6 +213,7 @@ def count_flat(
         cfg.lower,
         cfg.upper,
         cfg.sort_backend,
+        cfg.fuse_keybuild,
     )
     keep_np = np.asarray(keep)
     kmerlist = KmerList(

@@ -47,6 +47,24 @@ def iter_read_batches(
         start = end
 
 
+def suggest_batch_bases(cfg: KmerConfig, device=None) -> int:
+    """Pick a streaming batch size from HBM headroom.
+
+    The analogue of the reference's sort_decision (src/kmerops.cpp:1344-1379),
+    which sizes its sorter from 90% of MemFree: here the device pipeline needs
+    roughly codes(4) + 2 x W key words x 4 (pre/post sort) + counts/masks
+    bytes per base; we leave 2x slack for XLA temporaries.
+    """
+    from . import memcheck
+
+    per_base = 4 + 2 * cfg.words * 4 + 8
+    headroom = memcheck.hbm_headroom_bytes(device)
+    if headroom is None:
+        return 1 << 26
+    batch = int(headroom / (2 * per_base))
+    return max(min(batch, 1 << 28), 1 << 20)
+
+
 def count_reads_streaming(
     codes: np.ndarray,
     lengths: np.ndarray,

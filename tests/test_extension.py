@@ -48,3 +48,23 @@ def test_extension_read_id_offset():
     assert got == want
     all_rids = {r for _, occ in got.values() for r, _ in occ}
     assert all_rids == {100, 101, 102}
+
+
+def test_sharded_extension_matches_oracle():
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    from hysortk_tpu.parallel.pipeline import count_reads_sharded_ext
+
+    rng = np.random.default_rng(61)
+    reads = oracle.random_reads(rng, 30, 35, 70)
+    reads = reads + reads[:10]
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=50, extension=True,
+                     pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    result, hist = count_reads_sharded_ext(codes, lengths, cfg)
+    got = result.as_dict()
+    want = _oracle_ext(reads, cfg.k, cfg.lower, cfg.upper)
+    assert got == want

@@ -19,7 +19,7 @@ CONFIGS = [
 
 
 def _oracle_bin(k, m, lo, hi):
-    return os.path.join(REPO, ".oracle", f"hysortk_ref_K{k}_M{m}_L{lo}_U{hi}")
+    return os.path.join(REPO, ".oracle", f"hysortk_ref_K{k}_M{m}_L{lo}_U{hi}_E0")
 
 
 @pytest.mark.parametrize("k,m,lo,hi", CONFIGS)

@@ -17,7 +17,7 @@ from hysortk_tpu.io import writer
 from hysortk_tpu import testing as oracle
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ORACLE_BIN = os.path.join(REPO, ".oracle", "hysortk_ref_K31_M17_L2_U50")
+ORACLE_BIN = os.path.join(REPO, ".oracle", "hysortk_ref_K31_M17_L2_U50_E0")
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(ORACLE_BIN),

@@ -19,7 +19,7 @@ def _expect(reads, cfg):
     return {k.encode(): v for k, v in filt.items()}
 
 
-@pytest.mark.parametrize("k", [15, 31, 55])
+@pytest.mark.parametrize("k", [15, 31, 55, 96])
 def test_random_reads_match_oracle(k):
     rng = np.random.default_rng(42)
     # Small alphabet region sizes force repeated k-mers.

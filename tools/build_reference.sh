@@ -11,13 +11,14 @@ K=${1:-31}
 M=${2:-17}
 L=${3:-2}
 U=${4:-50}
+EXT=${5:-0}
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 REF=/root/reference
 OUT="$REPO/.oracle"
 SHIM="$REPO/tools/mpi_shim"
-BUILD="$OUT/build_K${K}_M${M}_L${L}_U${U}"
-BIN="$OUT/hysortk_ref_K${K}_M${M}_L${L}_U${U}"
+BUILD="$OUT/build_K${K}_M${M}_L${L}_U${U}_E${EXT}"
+BIN="$OUT/hysortk_ref_K${K}_M${M}_L${L}_U${U}_E${EXT}"
 
 if [[ -x "$BIN" ]]; then
   echo "$BIN"
@@ -32,7 +33,7 @@ FLAGS=(-O2 -std=c++17 -fopenmp -mavx2 -I"$SHIM" -I"$REF/include"
        -I"$REF/dependency/Raduls" -I"$REF/dependency/Paradis"
        -DKMER_SIZE="$K" -DMINIMIZER_SIZE="$M"
        -DLOWER_KMER_FREQ="$L" -DUPPER_KMER_FREQ="$U"
-       -DEXTENSION=0 -DLOG_LEVEL=1 -DDEBUG=0
+       -DEXTENSION="$EXT" -DLOG_LEVEL=1 -DDEBUG=0
        -DTHREAD_PER_WORKER=2 -DMAX_THREAD_MEMORY_BOUNDED=4
        -DAVG_TASK_PER_WORKER=3 -DMAX_SEND_BATCH=80000
        -DDISPATCH_UPPER_COE=1.5 -DDISPATCH_STEP=0.05 -DUNBALANCED_RATIO=2.3
