@@ -52,7 +52,7 @@ def main():
     from hysortk_tpu.config import KmerConfig
     from hysortk_tpu.pipeline import _count_device
 
-    cfg = KmerConfig(k=31, m=17, lower=2, upper=50)
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, fuse_keybuild=True)
 
     platform = jax.devices()[0].platform
     total_bases = 1 << 26 if platform != "cpu" else 1 << 21
@@ -64,7 +64,8 @@ def main():
     valid_j = jax.device_put(jax.numpy.asarray(valid))
 
     run = lambda: _count_device(
-        codes_j, valid_j, cfg.k, cfg.lower, cfg.upper, cfg.sort_backend
+        codes_j, valid_j, cfg.k, cfg.lower, cfg.upper, cfg.sort_backend,
+        cfg.fuse_keybuild,
     )
     # Warm up (first execution includes remote compile on tunneled TPUs);
     # fetching the (tiny) histogram forces a true execution sync —
