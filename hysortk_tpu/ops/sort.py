@@ -59,6 +59,25 @@ def sort_keys(
     return sort_marked(marked, payloads, backend)
 
 
+def sort_decision(n_items: int, n_operands: int, device=None) -> str:
+    """Pick the sort backend from problem size + HBM headroom.
+
+    The reference chooses RADULS (out-of-place, faster) when the task fits
+    in 90% of free memory per rank, else PARADIS (in-place)
+    (src/kmerops.cpp:1344-1379). Here the analogue: the XLA sort (fastest
+    measured) when its ~3x working set fits HBM headroom; otherwise the
+    Pallas bitonic whose phase B is block-wise in-place-capable and
+    tolerates tighter memory.
+    """
+    from ..runtime import memcheck
+
+    need = 3 * n_items * n_operands * 4
+    headroom = memcheck.hbm_headroom_bytes(device)
+    if headroom is not None and headroom < need:
+        return "pallas"
+    return "xla"
+
+
 def sort_marked(
     marked: Sequence[jnp.ndarray],
     payloads: Sequence[jnp.ndarray] = (),

@@ -81,3 +81,34 @@ def test_read_subset_of_records(tmp_path):
     ]
     assert np.array_equal(codes, want)
     assert lengths.tolist() == [len(r) for r in reads[3:7]]
+
+
+def test_no_trailing_newline(tmp_path):
+    p = tmp_path / "nt.fa"
+    with open(p, "wb") as f:
+        f.write(b">r0\nACGTACGTAC\n>r1\nTTGGCCAATT")  # no final \n
+    recs = fasta_io.generate_fai(str(p))
+    assert [r.length for r in recs] == [10, 10]
+    codes, lengths = fasta_io.read_records(str(p), recs)
+    want = fasta_io.CODE_LUT[np.frombuffer(b"ACGTACGTACTTGGCCAATT", dtype=np.uint8)]
+    assert np.array_equal(codes, want)
+
+
+def test_crlf_line_endings(tmp_path):
+    p = tmp_path / "crlf.fa"
+    with open(p, "wb") as f:
+        f.write(b">r0\r\nACGTAC\r\nGTACGT\r\n>r1\r\nTTTT\r\n")
+    recs = fasta_io.generate_fai(str(p))
+    assert [r.length for r in recs] == [12, 4]
+    codes, lengths = fasta_io.read_records(str(p), recs)
+    want = fasta_io.CODE_LUT[np.frombuffer(b"ACGTACGTACGTTTTT", dtype=np.uint8)]
+    assert np.array_equal(codes, want)
+
+
+def test_empty_record(tmp_path):
+    p = tmp_path / "er.fa"
+    with open(p, "w") as f:
+        f.write(">empty\n>r1\nACGT\n")
+    recs = fasta_io.generate_fai(str(p))
+    lens = [r.length for r in recs]
+    assert lens == [0, 4]

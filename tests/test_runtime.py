@@ -1,0 +1,92 @@
+"""Runtime utilities: logger, timer, memcheck, profiling, hashes, sort_decision."""
+
+import io
+import time
+
+import numpy as np
+import pytest
+
+from hysortk_tpu.ops import hashes
+from hysortk_tpu.ops.sort import sort_decision
+from hysortk_tpu.runtime import memcheck, profiling
+from hysortk_tpu.runtime.logger import Logger
+from hysortk_tpu.runtime.timer import Timer
+
+
+def test_logger_buffered_flush():
+    out = io.StringIO()
+    log = Logger(stream=out)
+    log.log("line one")
+    log.log("line two")
+    log.flush("stage A")
+    text = out.getvalue()
+    assert "## stage A" in text
+    assert "line one" in text and "line two" in text
+    # Buffer cleared after flush.
+    out2 = io.StringIO()
+    log2 = Logger(stream=out2)
+    log2.flush()
+    assert "line" not in out2.getvalue()
+
+
+def test_logger_root_prints_immediately():
+    out = io.StringIO()
+    Logger(stream=out).root("hello")
+    assert out.getvalue() == "hello\n"
+
+
+def test_timer_spans_accumulate():
+    t = Timer()
+    with t.span("work"):
+        time.sleep(0.01)
+    with t.span("work"):
+        pass
+    assert t.total("work") >= 0.01
+    assert t.last("work") < 0.01
+    assert "work" in t.report()
+
+
+def test_memcheck_host_probes():
+    assert memcheck.get_rss_gb() > 0
+    assert memcheck.get_peak_rss_gb() >= memcheck.get_rss_gb() * 0.5
+    assert memcheck.get_free_memory_kb() > 0
+
+
+def test_memcheck_hbm_stats_on_cpu():
+    # CPU backend may or may not report memory_stats; must not raise.
+    memcheck.get_hbm_stats()
+    memcheck.hbm_headroom_bytes()
+
+
+def test_device_seconds_measures():
+    import jax.numpy as jnp
+
+    f = lambda x: jnp.sum(x * 2)
+    sec = profiling.device_seconds(f, jnp.arange(1000.0))
+    assert 0 <= sec < 5
+
+
+def test_sort_decision_returns_valid_backend():
+    assert sort_decision(1 << 20, 2) in ("xla", "pallas")
+
+
+def test_murmurhash3_64_known_vectors():
+    # Self-consistency + avalanche sanity (no external vectors needed:
+    # equality with the reference oracle is covered end-to-end elsewhere).
+    h1 = hashes.murmurhash3_64(b"ACGTACGT")
+    h2 = hashes.murmurhash3_64(b"ACGTACGA")
+    assert h1 != h2
+    assert h1 == hashes.murmurhash3_64(b"ACGTACGT")
+    assert 0 <= h1 < (1 << 64)
+    # Seed sensitivity.
+    assert hashes.murmurhash3_64(b"ACGTACGT", seed=1) != h1
+    # 16-byte block path + tail path.
+    assert hashes.murmurhash3_64(b"A" * 16) != hashes.murmurhash3_64(b"A" * 17)
+
+
+def test_wanghash64_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        x = int(rng.integers(0, 1 << 63))
+        assert hashes.wanghash64_inv(hashes.wanghash64(x)) == x
+    assert hashes.wanghash64(0) != 0
