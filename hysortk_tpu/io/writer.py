@@ -17,15 +17,33 @@ import numpy as np
 from ..pipeline import KmerList
 
 
+def format_output_lines(kmerlist: KmerList) -> bytes:
+    """Render `kmer\\tcount\\n` lines (native C++ fast path, numpy fallback)."""
+    if len(kmerlist) == 0:
+        return b""
+    from . import native
+
+    if native.available():
+        out = native.format_output(
+            kmerlist.keys, kmerlist.counts.astype(np.int32), kmerlist.k
+        )
+        if out is not None:
+            return out
+    decoded = kmerlist.decoded()
+    counts = kmerlist.counts
+    parts = []
+    for kmer, cnt in zip(decoded, counts):
+        parts.append(kmer + b"\t" + str(int(cnt)).encode())
+    return b"\n".join(parts) + b"\n"
+
+
 def write_output_file(
     kmerlist: KmerList, output_dir: str, shard: int = 0
 ) -> str:
     os.makedirs(output_dir, exist_ok=True)
     path = os.path.join(output_dir, f"{shard}.out")
-    decoded = kmerlist.decoded()
     with open(path, "wb") as f:
-        for kmer, cnt in zip(decoded, kmerlist.counts):
-            f.write(kmer + b"\t" + str(int(cnt)).encode() + b"\n")
+        f.write(format_output_lines(kmerlist))
     return path
 
 

@@ -1,0 +1,57 @@
+"""CLI argument handling and end-to-end file outputs."""
+
+import numpy as np
+import pytest
+
+from hysortk_tpu import cli
+from hysortk_tpu.io import writer
+from hysortk_tpu import testing as oracle
+
+
+def test_help_exits_zero(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli.build_parser().parse_args(["--help"])
+    assert e.value.code == 0
+    assert "minimizer" in capsys.readouterr().out
+
+
+def test_missing_fasta_arg():
+    with pytest.raises(SystemExit) as e:
+        cli.build_parser().parse_args([])
+    assert e.value.code != 0
+
+
+def test_invalid_sort_choice():
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args(["x.fa", "--sort", "bogus"])
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    rng = np.random.default_rng(8)
+    reads = oracle.random_reads(rng, 25, 35, 90)
+    reads = reads + reads[:10]
+    fasta = tmp_path / "c.fa"
+    with open(fasta, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    outdir = tmp_path / "out"
+    rc = cli.main(
+        [str(fasta), str(outdir), "-k", "31", "-m", "17", "-l", "2",
+         "-u", "50", "--single-device"]
+    )
+    assert rc == 0
+    got = writer.parse_output_files(str(outdir))
+    want = {
+        k.encode(): v
+        for k, v in oracle.oracle_filtered(reads, 31, 2, 50).items()
+    }
+    assert got == want
+    out = capsys.readouterr().out
+    assert "#count\tnumkmers" in out
+
+
+def test_cli_bad_config_rejected(tmp_path):
+    fasta = tmp_path / "x.fa"
+    fasta.write_text(">r0\nACGT\n")
+    with pytest.raises(ValueError):
+        cli.main([str(fasta), "-k", "200"])
