@@ -66,8 +66,28 @@ def kmer_count(
     config: Optional[KmerConfig] = None,
 ) -> tuple[KmerList, np.ndarray]:
     """Count canonical k-mers. Facade analogue of hysortk::kmer_count
-    (src/hysortk.cpp:36-95). Returns (filtered KmerList, histogram array)."""
+    (src/hysortk.cpp:36-95). Returns (filtered KmerList, histogram array).
+
+    Falls back to bounded-memory streaming automatically when the one-shot
+    working set would not fit HBM headroom (the reference instead switches
+    sorters on MemFree, src/kmerops.cpp:1344-1379)."""
     cfg = config or KmerConfig()
+    try:
+        from .runtime import memcheck
+
+        headroom = memcheck.hbm_headroom_bytes()
+        need = int(codes.size) * (4 + 2 * cfg.words * 4 + 8) * 2
+        if headroom is not None and 0 < headroom < need:
+            from .runtime.scheduler import (
+                count_reads_streaming,
+                suggest_batch_bases,
+            )
+
+            return count_reads_streaming(
+                codes, lengths, cfg, suggest_batch_bases(cfg)
+            )
+    except Exception:
+        pass
     return count_reads(codes, lengths, cfg)
 
 

@@ -124,7 +124,11 @@ def main(argv=None) -> int:
 
     if args.output_dir:
         with timer.span("write_output"):
-            path = write_output_file(kmerlist, args.output_dir)
+            # Multi-host: each process writes its own shard file, like the
+            # reference's per-rank `<rank>.out` (src/hysortk.cpp:138-164).
+            path = write_output_file(
+                kmerlist, args.output_dir, shard=jax.process_index()
+            )
         log.root(f"wrote {path}")
 
     log.root(timer.report())
