@@ -70,8 +70,11 @@ def kmer_count(
 
     Falls back to bounded-memory streaming automatically when the one-shot
     working set would not fit HBM headroom (the reference instead switches
-    sorters on MemFree, src/kmerops.cpp:1344-1379)."""
+    sorters on MemFree, src/kmerops.cpp:1344-1379). With config.extension
+    the result is a KmerListExt carrying (ReadId, PosInRead) payloads."""
     cfg = config or KmerConfig()
+    if cfg.extension:
+        return count_reads_ext(codes, lengths, cfg)
     try:
         from .runtime import memcheck
 

@@ -92,6 +92,11 @@ class KmerConfig:
             raise ValueError(f"unknown sort backend {self.sort_backend!r}")
         if self.routing not in ("kmer_hash", "minimizer"):
             raise ValueError(f"unknown routing {self.routing!r}")
+        if self.extension and self.combiner:
+            # Pre-aggregation would collapse per-occurrence payloads; the
+            # reference likewise disables its heavy-hitter path under
+            # EXTENSION (src/kmerops.cpp:109-113).
+            raise ValueError("combiner is unavailable in extension mode")
 
     @property
     def words(self) -> int:
