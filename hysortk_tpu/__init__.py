@@ -13,7 +13,7 @@ CornellHPC/HySortK (ICPP'24), whose C++/MPI/OpenMP reference lives at
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -10,7 +10,6 @@ build of the reference).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 def words_per_kmer(k: int) -> int:

@@ -10,7 +10,6 @@ Formats are byte-identical to the reference:
 from __future__ import annotations
 
 import os
-from typing import Mapping, Optional
 
 import numpy as np
 

@@ -15,7 +15,6 @@ include/kmer.hpp:107-345.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ all mask logic is and/or/xor of i1 or int32 bit arithmetic.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax

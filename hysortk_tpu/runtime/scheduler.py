@@ -15,7 +15,7 @@ work runs, the host packs batch i+1.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ N (or any non-ACGT char) read as A — exactly the reference's behavior
 from __future__ import annotations
 
 from collections import Counter
-from typing import Iterable, Sequence
+from typing import Sequence
 
 _COMP = str.maketrans("ACGT", "TGCA")
 _CLEAN = {c: "A" for c in "NnRYSWKMBDHVryswkmbdhv"}
