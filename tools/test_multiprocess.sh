@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# Two-process jax.distributed smoke test on CPU: each process reads its
+# base-balanced FASTA shard, the sharded pipeline runs over the global mesh,
+# and process 0 checks the merged result against the brute-force oracle.
+# This exercises the REAL multi-host code path (coordinator, per-host reads,
+# make_array_from_process_local_data, DCN-style collectives) without a pod.
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+PORT=${PORT:-45677}
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+
+python - "$TMP" <<'EOF'
+import sys, numpy as np
+tmp = sys.argv[1]
+rng = np.random.default_rng(11)
+bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+reads = bases[rng.integers(0, 4, size=(120, 80))]
+reads[-40:] = reads[:40]
+with open(f"{tmp}/mp.fa", "wb") as f:
+    for i, r in enumerate(reads):
+        f.write(b">r%d\n" % i); f.write(r.tobytes()); f.write(b"\n")
+EOF
+
+run_proc() {
+  JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=2" \
+  python - "$TMP" "$PORT" "$1" <<'EOF'
+import sys, os
+tmp, port, pid = sys.argv[1], sys.argv[2], int(sys.argv[3])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+sys.path.insert(0, "/root/repo")
+from hysortk_tpu.config import KmerConfig
+from hysortk_tpu.parallel import multihost
+
+cfg = KmerConfig(k=31, m=17, lower=2, upper=50, pad_multiple=128)
+kmerlist, hist = multihost.count_fasta_multihost(f"{tmp}/mp.fa", cfg)
+
+# Union across processes via files (like the reference's per-rank outputs).
+from hysortk_tpu.io import writer
+writer.write_output_file(kmerlist, f"{tmp}/out", shard=pid)
+
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("done-writing")
+
+if pid == 0:
+    from hysortk_tpu import testing as oracle
+    from collections import Counter
+    reads = []
+    cur = None
+    for line in open(f"{tmp}/mp.fa"):
+        if line.startswith(">"):
+            continue
+        reads.append(line.strip())
+    got = writer.parse_output_files(f"{tmp}/out")
+    want = {k.encode(): v for k, v in oracle.oracle_filtered(reads, 31, 2, 50).items()}
+    assert got == want, f"mismatch: {len(got)} vs {len(want)}"
+    hist_d = {c: int(n) for c, n in enumerate(hist) if n > 0}
+    assert hist_d == oracle.oracle_histogram(oracle.oracle_filtered(reads, 31, 2, 50))
+    print(f"MULTIPROCESS OK: {len(got)} kmers, 2 processes x 2 devices", flush=True)
+EOF
+}
+
+run_proc 1 &
+W1=$!
+run_proc 0
+wait $W1
