@@ -159,38 +159,33 @@ def block_bitonic_sort(
 # ---------------------------------------------------------------------------
 
 
-def _cross_kernel(
-    n_arrays: int,
-    n_words: int,
-    block_rows: int,
-    s_group: tuple[int, ...],
-    k_blockbit: int,
-):
-    """Perform strides j = B*2^s for s in s_group (descending) in VMEM.
+def _cross_kernel(n_arrays: int, n_words: int, block_rows: int, f: int):
+    """Perform f cross-strides j = B*2^s, s in [s_lo+f-1 .. s_lo], in VMEM.
 
     Each grid step owns one *group* of 2^f blocks (the blocks whose indices
     differ only in bits [s_lo, s_lo+f)), DMAs them into VMEM, runs the f
     cross-strides as member-array compare-exchanges (no rolls needed — the
     partner is a different member), and DMAs them back. Groups tile the
     block space, so every pass reads and writes each element exactly once.
+
+    The level parameters (s_lo, k_blockbit) arrive as scalar-prefetch values
+    so one compiled kernel serves every merge level (per f) — level-baked
+    constants would mean ~log^2(N/B) separate Mosaic compiles.
     """
-    f = len(s_group)
     n_members = 1 << f
-    s_lo = s_group[-1]
     R = block_rows
 
-    def kernel(*refs):
+    def kernel(params_ref, *refs):
+        s_lo = params_ref[0]
+        k_blockbit = params_ref[1]
         ins = refs[:n_arrays]
         outs = refs[n_arrays : 2 * n_arrays]
         scratch = refs[2 * n_arrays : 3 * n_arrays]  # (n_members*R, 128)
         sems = refs[3 * n_arrays]
 
         g = pl.program_id(0)
-        if s_lo:
-            lo = jax.lax.rem(g, 1 << s_lo)
-            hi = jax.lax.div(g, 1 << s_lo)
-        else:
-            lo, hi = 0, g
+        lo = g & ((1 << s_lo) - 1)
+        hi = g >> s_lo
 
         def beta_of(m):
             return (hi << (s_lo + f)) | (m << s_lo) | lo
@@ -214,8 +209,7 @@ def _cross_kernel(
             [scratch[x][m * R : (m + 1) * R, :] for m in range(n_members)]
             for x in range(n_arrays)
         ]
-        for s in s_group:  # descending strides
-            bitpos = s - s_lo  # bit of the member index for this stride
+        for bitpos in range(f - 1, -1, -1):  # descending strides
             for m in range(n_members):
                 if (m >> bitpos) & 1:
                     continue  # handled with its lower partner
@@ -256,11 +250,15 @@ def _cross_kernel(
     return kernel
 
 
-def _tail_kernel(n_arrays: int, n_words: int, block_rows: int, k_bitpos: int):
-    """Strides j = B/2 .. 1 of one merge level, block-local."""
+def _tail_kernel(n_arrays: int, n_words: int, block_rows: int):
+    """Strides j = B/2 .. 1 of one merge level, block-local.
+
+    The level's k-bit position arrives as a scalar-prefetch value: one
+    compiled kernel serves all levels."""
     B = block_rows * LANES
 
-    def kernel(*refs):
+    def kernel(params_ref, *refs):
+        k_bitpos = params_ref[0]
         ins, outs = refs[:n_arrays], refs[n_arrays:]
         arrs = [r[:] for r in ins]
         beta = pl.program_id(0)
@@ -288,8 +286,9 @@ def merge_levels(
     arrs2d = [a.reshape(n // LANES, LANES) for a in arrays]
     n_arrays = len(arrays)
 
+    # index_map receives (grid_idx, *scalar_prefetch_refs).
     tail_spec = pl.BlockSpec(
-        (block_rows, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
+        (block_rows, LANES), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
@@ -306,44 +305,50 @@ def merge_levels(
             group = tuple(s_list[idx : idx + fuse_bits])
             idx += len(group)
             f = len(group)
+            s_lo = group[-1]
             n_groups = n_blocks >> f
+            params = jnp.asarray([s_lo, k_blockbit], dtype=jnp.int32)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_groups,),
+                in_specs=[any_spec] * n_arrays,
+                out_specs=[any_spec] * n_arrays,
+                scratch_shapes=[
+                    pltpu.VMEM(((1 << f) * block_rows, LANES), jnp.uint32)
+                    for _ in range(n_arrays)
+                ]
+                + [pltpu.SemaphoreType.DMA((n_arrays * (1 << f),))],
+            )
             arrs2d = list(
                 pl.pallas_call(
-                    _cross_kernel(
-                        n_arrays, n_words, block_rows, group, k_blockbit
-                    ),
-                    grid=(n_groups,),
-                    in_specs=[any_spec] * n_arrays,
-                    out_specs=[any_spec] * n_arrays,
+                    _cross_kernel(n_arrays, n_words, block_rows, f),
+                    grid_spec=grid_spec,
                     out_shape=[
                         jax.ShapeDtypeStruct(a.shape, a.dtype)
                         for a in arrs2d
                     ],
-                    scratch_shapes=[
-                        pltpu.VMEM(
-                            ((1 << f) * block_rows, LANES), jnp.uint32
-                        )
-                        for _ in range(n_arrays)
-                    ]
-                    + [pltpu.SemaphoreType.DMA((n_arrays * (1 << f),))],
                     compiler_params=pltpu.CompilerParams(
                         has_side_effects=True
                     ),
                     interpret=_INTERPRET,
-                )(*arrs2d)
+                )(params, *arrs2d)
             )
         # Local tail for this level (strides j < B).
+        tail_grid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[tail_spec] * n_arrays,
+            out_specs=[tail_spec] * n_arrays,
+        )
         arrs2d = list(
             pl.pallas_call(
-                _tail_kernel(n_arrays, n_words, block_rows, k_bitpos),
-                grid=(n_blocks,),
-                in_specs=[tail_spec] * n_arrays,
-                out_specs=[tail_spec] * n_arrays,
+                _tail_kernel(n_arrays, n_words, block_rows),
+                grid_spec=tail_grid,
                 out_shape=[
                     jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d
                 ],
                 interpret=_INTERPRET,
-            )(*arrs2d)
+            )(jnp.asarray([k_bitpos], dtype=jnp.int32), *arrs2d)
         )
         k *= 2
     return [a.reshape(n) for a in arrs2d]
