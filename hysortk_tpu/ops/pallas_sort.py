@@ -362,8 +362,8 @@ def merge_levels(
 def sort_words(
     words: Sequence[jnp.ndarray],
     payloads: Sequence[jnp.ndarray] = (),
-    block_rows: int = 128,
-    fuse_bits: int = 3,
+    block_rows: int = 256,
+    fuse_bits: int = 4,
 ) -> tuple[list[jnp.ndarray], list[jnp.ndarray]]:
     """Sort 1-D uint32 key words (lexicographic) with payloads, ascending.
 
@@ -393,6 +393,15 @@ def sort_words(
             )
             for a in arrays
         ]
+
+    # Cap the fuse width so the cross-kernel scratch (2^f blocks per array)
+    # stays within a conservative VMEM budget (~8 MiB).
+    budget = 8 * 1024 * 1024
+    while (
+        fuse_bits > 1
+        and (1 << fuse_bits) * block_rows * LANES * 4 * len(arrays) > budget
+    ):
+        fuse_bits -= 1
 
     arrays = block_bitonic_sort(arrays, n_words, block_rows)
     if n_pad > block:
