@@ -134,16 +134,15 @@ def count_fasta_multihost(
         )
 
     # Each host keeps its addressable shards' results.
-    keep_local = np.concatenate(
-        [np.asarray(s.data) for s in keep.addressable_shards]
-    )
-    keys_local = np.concatenate(
-        [np.asarray(s.data) for s in keys.addressable_shards]
-    )
-    cnt_local = np.concatenate(
-        [np.asarray(s.data) for s in cnt.addressable_shards]
-    )
+    def local(arr):
+        return np.concatenate(
+            [np.asarray(s.data) for s in arr.addressable_shards]
+        )
+
+    keep_local = local(keep)
+    keys_local = np.stack([local(w)[keep_local] for w in keys], axis=-1)
+    cnt_local = local(cnt)
     kmerlist = KmerList(
-        keys=keys_local[keep_local], counts=cnt_local[keep_local], k=cfg.k
+        keys=keys_local, counts=cnt_local[keep_local], k=cfg.k
     )
     return kmerlist, np.asarray(hist)

@@ -126,8 +126,8 @@ def _shard_body(
     hist = jax.lax.psum(hist, SHARD_AXIS)
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
 
-    keys = jnp.stack(words_s, axis=-1)
-    return keys, cnt, keep, hist, overflow
+    # Words returned separately (stacking on device wastes an HBM pass).
+    return tuple(words_s), cnt, keep, hist, overflow
 
 
 @functools.partial(
@@ -137,11 +137,12 @@ def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh)
     body = functools.partial(
         _shard_body, cfg=cfg, num_shards=num_shards, capacity=capacity
     )
+    word_specs = tuple(P(SHARD_AXIS) for _ in range(cfg.words))
     return shard_map(
         body,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P()),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
         check_rep=False,
     )(codes, valid, assign)
 
@@ -218,9 +219,11 @@ def count_flat_sharded(
     else:
         raise RuntimeError("exchange capacity overflow after 4 doublings")
 
+    from ..pipeline import compact_keys
+
     keep_np = np.asarray(keep)
     kmerlist = KmerList(
-        keys=np.asarray(keys)[keep_np],
+        keys=compact_keys(keys, keep_np),
         counts=np.asarray(cnt)[keep_np],
         k=cfg.k,
     )
@@ -326,8 +329,7 @@ def _shard_body_ext(
     head, cnt = count_ops.run_length_count(svalid, words_s)
     keep = count_ops.frequency_filter(head, cnt, cfg.lower, cfg.upper)
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
-    keys = jnp.stack(words_s, axis=-1)
-    return keys, cnt, keep, payloads_s[0], payloads_s[1], overflow
+    return tuple(words_s), cnt, keep, payloads_s[0], payloads_s[1], overflow
 
 
 @functools.partial(
@@ -339,11 +341,12 @@ def _count_sharded_ext_jit(
     body = functools.partial(
         _shard_body_ext, cfg=cfg, num_shards=num_shards, capacity=capacity
     )
+    word_specs = tuple(P(SHARD_AXIS) for _ in range(cfg.words))
     return shard_map(
         body,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 5 + (P(),),
+        out_specs=(word_specs,) + (P(SHARD_AXIS),) * 4 + (P(),),
         check_rep=False,
     )(codes, valid, rid, pos)
 
@@ -425,8 +428,10 @@ def count_reads_sharded_ext(
     spos_np = np.asarray(spos).astype(np.uint32)
     starts = np.flatnonzero(keep_np)
     counts = cnt_np[starts]
+    from ..pipeline import compact_keys
+
     result = KmerListExt(
-        keys=np.asarray(keys)[keep_np],
+        keys=compact_keys(keys, keep_np),
         counts=counts,
         k=cfg.k,
         pos=[spos_np[s : s + c] for s, c in zip(starts, counts)],

@@ -106,8 +106,9 @@ def _count_device_ext(
     svalid = inv_s == 0
     head, cnt = count_ops.run_length_count(svalid, words_s)
     keep = count_ops.frequency_filter(head, cnt, lower, upper)
-    keys = jnp.stack(words_s, axis=-1)
-    return keys, cnt, keep, payloads_s[0], payloads_s[1]
+    # Words stay separate (N,) arrays: stacking to (N, W) on device would
+    # cost a full extra HBM write + read; the host stacks after compaction.
+    return tuple(words_s), cnt, keep, payloads_s[0], payloads_s[1]
 
 
 def count_flat_ext(
@@ -136,7 +137,7 @@ def count_flat_ext(
     starts = np.flatnonzero(keep_np)
     counts = cnt_np[starts]
     result = KmerListExt(
-        keys=np.asarray(keys)[keep_np],
+        keys=compact_keys(keys, keep_np),
         counts=counts,
         k=cfg.k,
         pos=[spos_np[s : s + c] for s, c in zip(starts, counts)],
@@ -187,11 +188,16 @@ def _count_device(
     svalid = inv_s == 0
     head, cnt = count_ops.run_length_count(svalid, words_s)
     keep = count_ops.frequency_filter(head, cnt, lower, upper)
-    keys = jnp.stack(words_s, axis=-1)
-    # The histogram is computed host-side from the compacted counts — the
-    # reference's counting timer likewise excludes histogram work
-    # (src/hysortk.cpp:91 vs print_kmer_histogram).
-    return keys, cnt, keep
+    # Words stay separate (N,) arrays (stacking would cost an extra HBM
+    # round trip); the histogram is computed host-side from the compacted
+    # counts — the reference's counting timer likewise excludes histogram
+    # work (src/hysortk.cpp:91 vs print_kmer_histogram).
+    return tuple(words_s), cnt, keep
+
+
+def compact_keys(words, keep_np: np.ndarray) -> np.ndarray:
+    """Stack per-word device outputs into (M, W) host keys at kept slots."""
+    return np.stack([np.asarray(w)[keep_np] for w in words], axis=-1)
 
 
 def host_histogram(counts: np.ndarray, upper: int) -> np.ndarray:
@@ -216,7 +222,7 @@ def count_flat(
     )
     keep_np = np.asarray(keep)
     kmerlist = KmerList(
-        keys=np.asarray(keys)[keep_np],
+        keys=compact_keys(keys, keep_np),
         counts=np.asarray(cnt)[keep_np],
         k=cfg.k,
     )

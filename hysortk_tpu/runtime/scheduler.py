@@ -107,7 +107,9 @@ def count_reads_streaming(
             cfg.sort_backend,
         )
         keep_np = np.asarray(keep)
-        partial_keys.append(np.asarray(keys)[keep_np])
+        from ..pipeline import compact_keys
+
+        partial_keys.append(compact_keys(keys, keep_np))
         partial_cnts.append(np.asarray(cnt)[keep_np])
 
     if not partial_keys:
@@ -142,7 +144,7 @@ def count_reads_streaming(
             svalid, words_s, payloads_s[0].astype(jnp.int32)
         )
         keep = count_ops.frequency_filter(head, total, lower, upper)
-        return jnp.stack(words_s, axis=-1), total, keep
+        return tuple(words_s), total, keep
 
     keys_s, total, keep = merge(
         jnp.asarray(all_keys),
@@ -156,7 +158,9 @@ def count_reads_streaming(
     from ..pipeline import host_histogram
 
     keep_np = np.asarray(keep)
+    from ..pipeline import compact_keys
+
     result = KmerList(
-        np.asarray(keys_s)[keep_np], np.asarray(total)[keep_np], cfg.k
+        compact_keys(keys_s, keep_np), np.asarray(total)[keep_np], cfg.k
     )
     return result, host_histogram(result.counts, cfg.upper)
