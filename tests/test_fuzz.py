@@ -41,3 +41,45 @@ def test_random_config_matches_oracle(trial):
     )
     got_hist = {c: int(n) for c, n in enumerate(hist) if n > 0}
     assert got_hist == want_hist
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_random_config_sharded_and_streaming(trial):
+    import jax
+
+    rng = np.random.default_rng(2000 + trial)
+    k = int(rng.integers(8, 64))
+    m = int(rng.integers(1, min(k, 20)))
+    lower = int(rng.integers(1, 3))
+    upper = int(rng.integers(lower + 5, lower + 80))
+    combiner = bool(rng.random() < 0.5)
+    routing = "minimizer" if rng.random() < 0.5 else "kmer_hash"
+    cfg = KmerConfig(
+        k=k, m=m, lower=lower, upper=upper, pad_multiple=128,
+        combiner=combiner, routing=routing, capacity_factor=3.0,
+    )
+
+    n_reads = int(rng.integers(10, 50))
+    reads = [
+        "".join(rng.choice(list("ACGT"), size=int(rng.integers(k, 3 * k))))
+        for _ in range(n_reads)
+    ]
+    reads += reads[: n_reads // 2]
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    want = {
+        km.encode(): v
+        for km, v in oracle.oracle_filtered(reads, k, lower, upper).items()
+    }
+
+    if len(jax.devices()) >= 2:
+        from hysortk_tpu.parallel.pipeline import count_reads_sharded
+
+        sh_list, _ = count_reads_sharded(codes, lengths, cfg)
+        assert sh_list.as_dict() == want, (k, m, lower, upper, combiner, routing)
+
+    from hysortk_tpu.runtime.scheduler import count_reads_streaming
+
+    st_list, _ = count_reads_streaming(
+        codes, lengths, cfg, batch_bases=max(4 * k, 64)
+    )
+    assert st_list.as_dict() == want, (k, m, lower, upper)
