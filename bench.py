@@ -52,7 +52,8 @@ def main():
     from hysortk_tpu.config import KmerConfig
     from hysortk_tpu.pipeline import _count_device
 
-    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, fuse_keybuild=True)
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, fuse_keybuild=True,
+                     fuse_count=True)
 
     platform = jax.devices()[0].platform
     total_bases = 1 << 26 if platform != "cpu" else 1 << 21
@@ -65,7 +66,7 @@ def main():
 
     run = lambda: _count_device(
         codes_j, valid_j, cfg.k, cfg.lower, cfg.upper, cfg.sort_backend,
-        cfg.fuse_keybuild,
+        cfg.fuse_keybuild, cfg.fuse_count,
     )
     # Warm up (first execution includes remote compile on tunneled TPUs);
     # fetching the (tiny) histogram forces a true execution sync —

@@ -71,6 +71,10 @@ class KmerConfig:
     # instead of ~20 XLA roll passes. Semantics identical; single-chip path.
     fuse_keybuild: bool = False
 
+    # Run-length count + [L,U] filter as one fused Pallas sweep
+    # (ops/pallas_count.py) instead of ~10 XLA scan passes.
+    fuse_count: bool = False
+
     # Device batch sizing: flat base-stream padding granularity.
     pad_multiple: int = 1024
 

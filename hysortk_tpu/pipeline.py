@@ -162,7 +162,9 @@ def count_reads_ext(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "lower", "upper", "sort_backend", "fuse_keybuild"),
+    static_argnames=(
+        "k", "lower", "upper", "sort_backend", "fuse_keybuild", "fuse_count"
+    ),
 )
 def _count_device(
     codes: jnp.ndarray,
@@ -172,6 +174,7 @@ def _count_device(
     upper: int,
     sort_backend: str,
     fuse_keybuild: bool = False,
+    fuse_count: bool = False,
 ):
     """codes (N,) int8, valid (N,) bool -> sorted keys, counts, keep mask."""
     if fuse_keybuild:
@@ -185,6 +188,13 @@ def _count_device(
         inv_s, words_s, _ = sort_ops.sort_keys(
             invalid, words, backend=sort_backend
         )
+    if fuse_count:
+        from .ops import pallas_count
+
+        cnt, keep = pallas_count.run_length_count_filter(
+            words_s, lower, upper
+        )
+        return tuple(words_s), cnt, keep
     svalid = inv_s == 0
     head, cnt = count_ops.run_length_count(svalid, words_s)
     keep = count_ops.frequency_filter(head, cnt, lower, upper)
@@ -219,6 +229,7 @@ def count_flat(
         cfg.upper,
         cfg.sort_backend,
         cfg.fuse_keybuild,
+        cfg.fuse_count,
     )
     keep_np = np.asarray(keep)
     kmerlist = KmerList(
