@@ -34,6 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pre-aggregate local duplicates before the exchange")
     p.add_argument("--sort", choices=("xla", "pallas"), default="xla",
                    help="device sort backend")
+    p.add_argument("--routing", choices=("kmer_hash", "minimizer"),
+                   default="kmer_hash",
+                   help="multi-device destination rule (minimizer = the "
+                        "reference's virtual-task scheme + balanced dispatch)")
+    p.add_argument("--fuse-keybuild", action="store_true",
+                   help="build canonical keys in one fused Pallas kernel")
+    p.add_argument("--fuse-count", action="store_true",
+                   help="run-length count + filter as one fused Pallas sweep")
     p.add_argument("--single-device", action="store_true",
                    help="force the single-chip pipeline even on a multi-device mesh")
     p.add_argument("--extension", action="store_true",
@@ -72,7 +80,8 @@ def main(argv=None) -> int:
     cfg = KmerConfig(
         k=args.k, m=args.m, lower=args.lower, upper=args.upper,
         combiner=args.combiner, sort_backend=args.sort,
-        extension=args.extension,
+        extension=args.extension, routing=args.routing,
+        fuse_keybuild=args.fuse_keybuild, fuse_count=args.fuse_count,
     )
 
     if args.coordinator:
