@@ -230,6 +230,25 @@ def count_flat_sharded(
     return kmerlist, np.asarray(hist)
 
 
+def partition_read_indices(
+    lengths: np.ndarray, num_shards: int
+) -> list[list[int]]:
+    """Greedy contiguous split of read indices balancing total bases —
+    the in-memory analogue of the reference's getpartition
+    (fastaindex.cpp:52-100)."""
+    per_shard: list[list[int]] = [[] for _ in range(num_shards)]
+    total = int(lengths.sum())
+    target = total / num_shards if num_shards else 0
+    shard, acc = 0, 0
+    for i, ln in enumerate(lengths):
+        if shard < num_shards - 1 and acc > 0 and acc + ln / 2 > target:
+            shard += 1
+            acc = 0
+        per_shard[shard].append(i)
+        acc += int(ln)
+    return per_shard
+
+
 def distribute_reads(
     codes: np.ndarray,
     lengths: np.ndarray,
@@ -242,21 +261,7 @@ def distribute_reads(
     from ..io import fasta as fasta_io
 
     offsets = np.concatenate([[0], np.cumsum(lengths)])
-    # Greedy contiguous split by bases.
-    per_shard: list[list[int]] = [[] for _ in range(num_shards)]
-    total = int(lengths.sum())
-    target = total / num_shards if num_shards else 0
-    shard, acc = 0, 0
-    for i, ln in enumerate(lengths):
-        if (
-            shard < num_shards - 1
-            and acc > 0
-            and acc + ln / 2 > target
-        ):
-            shard += 1
-            acc = 0
-        per_shard[shard].append(i)
-        acc += int(ln)
+    per_shard = partition_read_indices(lengths, num_shards)
 
     blocks = []
     for part in per_shard:
@@ -367,16 +372,7 @@ def count_reads_sharded_ext(
 
     # Distribute reads, then build rid/pos per shard block with global ids.
     offsets = np.concatenate([[0], np.cumsum(lengths)])
-    per_shard: list[list[int]] = [[] for _ in range(num_shards)]
-    total = int(lengths.sum())
-    target = total / num_shards if num_shards else 0
-    shard, acc = 0, 0
-    for i, ln in enumerate(lengths):
-        if shard < num_shards - 1 and acc > 0 and acc + ln / 2 > target:
-            shard += 1
-            acc = 0
-        per_shard[shard].append(i)
-        acc += int(ln)
+    per_shard = partition_read_indices(lengths, num_shards)
 
     blocks = []
     for part in per_shard:
