@@ -106,9 +106,24 @@ def main(argv=None) -> int:
 
     with timer.span("kmer_count"):
         if args.extension:
-            from . import count_reads_ext
+            if args.stream_batch_bases:
+                # Per-occurrence payloads cannot be pre-aggregated into
+                # streaming partials; fail loudly instead of ignoring a flag.
+                raise SystemExit(
+                    "--extension and --stream-batch-bases are incompatible"
+                )
+            if jax.process_count() > 1:
+                from .parallel.multihost import count_fasta_multihost_ext
 
-            kmerlist, hist = count_reads_ext(codes, lengths, cfg)
+                kmerlist, hist = count_fasta_multihost_ext(args.fasta, cfg)
+            elif len(devices) > 1 and not args.single_device:
+                from .parallel.pipeline import count_reads_sharded_ext
+
+                kmerlist, hist = count_reads_sharded_ext(codes, lengths, cfg)
+            else:
+                from . import count_reads_ext
+
+                kmerlist, hist = count_reads_ext(codes, lengths, cfg)
         elif args.stream_batch_bases:
             from .runtime.scheduler import count_reads_streaming
 

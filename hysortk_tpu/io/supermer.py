@@ -105,7 +105,7 @@ def encode_supermers(
             zip(run_start_flat[sel], lengths, out_off)
         ):
             seq = codes[fs : fs + lb].astype(np.uint8)
-            pad = (-lb) % 4
+            pad = (-int(lb)) % 4  # int(): negating a numpy uint32 overflows
             if pad:
                 seq = np.concatenate([seq, np.zeros(pad, np.uint8)])
             quads = seq.reshape(-1, 4)

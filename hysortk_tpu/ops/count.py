@@ -93,15 +93,46 @@ def frequency_filter(
     return head & (count >= lower) & (count <= upper)
 
 
+def chunked_bincount(
+    values: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_bins: int,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """bincount of `values` (masked by `valid`) with bounded memory.
+
+    A naive one-hot reduction materializes an (N, num_bins) intermediate —
+    a 2^26 x 65536 boolean for a large `upper` — so the one-hot is built one
+    `chunk` at a time under `lax.scan` with a (num_bins,) accumulator. The
+    reference's histogram is likewise a linear pass (src/hysortk.cpp:98-136).
+    """
+    n = values.shape[0]
+    chunk = min(chunk, max(n, 1))
+    pad = -n % chunk
+    if pad:
+        values = jnp.concatenate([values, jnp.zeros(pad, values.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, dtype=valid.dtype)])
+    v = values.astype(jnp.int32).reshape(-1, chunk)
+    m = valid.astype(jnp.bool_).reshape(-1, chunk)
+    bins = jnp.arange(num_bins, dtype=jnp.int32)
+
+    def step(acc, vm):
+        vals, mask = vm
+        onehot = (vals[:, None] == bins[None, :]) & mask[:, None]
+        return acc + jnp.sum(onehot.astype(jnp.int32), axis=0), None
+
+    acc0 = jnp.zeros(num_bins, dtype=jnp.int32)
+    acc, _ = jax.lax.scan(step, acc0, (v, m))
+    return acc
+
+
 def histogram(
     keep: jnp.ndarray, count: jnp.ndarray, upper: int
 ) -> jnp.ndarray:
     """hist[c] = number of kept k-mers with frequency c, c in [0, upper].
 
     Matches print_kmer_histogram (src/hysortk.cpp:98-136), which histograms the
-    *filtered* list, so counts never exceed `upper`. Computed as a masked
-    one-hot reduction (fusable dense math; no scatter).
+    *filtered* list, so counts never exceed `upper`. Memory-bounded even at
+    the config envelope's upper=65535 (chunked scan, no (N, upper) one-hot).
     """
-    cvals = jnp.arange(upper + 1, dtype=jnp.int32)
-    onehot = (count[:, None] == cvals[None, :]) & keep[:, None]
-    return jnp.sum(onehot.astype(jnp.int32), axis=0)
+    return chunked_bincount(count, keep, upper + 1)

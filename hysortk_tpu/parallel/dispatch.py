@@ -23,10 +23,13 @@ NORMAL, HEAVY = 0, 1  # task types; reference kmerops.hpp task_type semantics
 def bucket_sizes_device(
     dest: jnp.ndarray, valid: jnp.ndarray, num_buckets: int
 ) -> jnp.ndarray:
-    """(num_buckets,) int32 — valid k-mers per destination bucket (local)."""
-    b = jnp.arange(num_buckets, dtype=jnp.int32)
-    onehot = (dest[:, None] == b[None, :]) & valid[:, None]
-    return jnp.sum(onehot.astype(jnp.int32), axis=0)
+    """(num_buckets,) int32 — valid k-mers per destination bucket (local).
+
+    Chunked to avoid an (N, num_buckets) one-hot (ops/count.chunked_bincount).
+    """
+    from ..ops import count as count_ops
+
+    return count_ops.chunked_bincount(dest, valid, num_buckets)
 
 
 def classify(sizes: np.ndarray, heavy_ratio: float = 2.3) -> np.ndarray:

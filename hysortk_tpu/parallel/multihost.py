@@ -124,7 +124,7 @@ def count_fasta_multihost(
         assign = jnp.zeros(1, dtype=jnp.int32)
 
     capacity = max(int(block / num_shards * cfg.capacity_factor), 64)
-    keys, cnt, keep, hist, overflow = shard_pipeline._count_sharded_jit(
+    keys, cnt, keep, overflow = shard_pipeline._count_sharded_jit(
         codes_g, valid_g, assign,
         cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
     )
@@ -145,4 +145,109 @@ def count_fasta_multihost(
     kmerlist = KmerList(
         keys=keys_local, counts=cnt_local[keep_local], k=cfg.k
     )
-    return kmerlist, np.asarray(hist)
+    # Global histogram = sum of per-host local histograms (the reference's
+    # MPI_Allreduce SUM, src/hysortk.cpp:115).
+    from ..pipeline import host_histogram
+
+    hist = host_histogram(kmerlist.counts, cfg.upper)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        hist = np.asarray(
+            multihost_utils.process_allgather(hist).sum(axis=0),
+            dtype=np.int32,
+        )
+    return kmerlist, hist
+
+
+def count_fasta_multihost_ext(
+    fasta_path: str, cfg: KmerConfig
+) -> tuple["KmerListExt", np.ndarray]:
+    """Multi-host EXT pipeline: per-host read -> global mesh -> (rid, pos)
+    payloads through the exchange (the reference's distributed EXTENSION
+    mode, src/kmerops.cpp:1430-1438, include/kmer.hpp:346-430).
+
+    Read ids are globally consistent: each host offsets its ids by the
+    number of reads owned by lower-indexed hosts (the reference's MPI_Exscan
+    of read counts, src/kmerops.cpp:66).
+    """
+    from ..io import fasta as fasta_io
+    from ..pipeline import KmerListExt, host_histogram
+    from jax.sharding import NamedSharding
+
+    mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
+    n_local_dev = jax.local_device_count()
+    num_shards = mesh.devices.size
+
+    records = fasta_io.load_or_build_fai(fasta_path)
+    parts = fasta_io.partition_records(records, jax.process_count())
+    my_part = parts[jax.process_index()]
+    mine = [records[i] for i in my_part]
+    # Global read-id offset: partitions are contiguous in record order.
+    rid_offset = my_part[0] if my_part else 0
+    codes, lengths = fasta_io.read_records(fasta_path, mine)
+
+    sc, sv, sr, sp, block = shard_pipeline.build_ext_blocks(
+        codes, lengths, cfg, n_local_dev, rid_offset
+    )
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        max_block = int(
+            multihost_utils.process_allgather(np.asarray(block)).max()
+        )
+    else:
+        max_block = block
+    if max_block != block:
+        pad = ((0, 0), (0, max_block - block))
+        sc, sv, sr, sp = (np.pad(a, pad) for a in (sc, sv, sr, sp))
+        block = max_block
+
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+    global_shape = (num_shards * block,)
+    mk = lambda a: jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(a.reshape(-1)), global_shape
+    )
+    codes_g, valid_g = mk(sc.astype(np.int8)), mk(sv)
+    rid_g, pos_g = mk(sr), mk(sp)
+
+    capacity = max(int(block / num_shards * cfg.capacity_factor), 64)
+    keys, cnt, keep, srid, spos, overflow = (
+        shard_pipeline._count_sharded_ext_jit(
+            codes_g, valid_g, rid_g, pos_g,
+            cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
+        )
+    )
+    if int(np.asarray(overflow)) != 0:
+        raise RuntimeError(
+            "exchange capacity overflow; raise cfg.capacity_factor"
+        )
+
+    def local(arr):
+        return np.concatenate(
+            [np.asarray(s.data) for s in arr.addressable_shards]
+        )
+
+    keep_local = local(keep)
+    cnt_local = local(cnt)
+    srid_np = local(srid).astype(np.int32)
+    spos_np = local(spos).astype(np.uint32)
+    starts = np.flatnonzero(keep_local)
+    counts = cnt_local[starts]
+    kmerlist = KmerListExt(
+        keys=np.stack([local(w)[keep_local] for w in keys], axis=-1),
+        counts=counts,
+        k=cfg.k,
+        pos=[spos_np[s : s + c] for s, c in zip(starts, counts)],
+        rid=[srid_np[s : s + c] for s, c in zip(starts, counts)],
+    )
+    hist = host_histogram(kmerlist.counts, cfg.upper)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        hist = np.asarray(
+            multihost_utils.process_allgather(hist).sum(axis=0),
+            dtype=np.int32,
+        )
+    return kmerlist, hist

@@ -122,12 +122,14 @@ def _shard_body(
         head, cnt = count_ops.run_length_count(svalid, words_s)
 
     keep = count_ops.frequency_filter(head, cnt, cfg.lower, cfg.upper)
-    hist = count_ops.histogram(keep, cnt, cfg.upper)
-    hist = jax.lax.psum(hist, SHARD_AXIS)
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
 
     # Words returned separately (stacking on device wastes an HBM pass).
-    return tuple(words_s), cnt, keep, hist, overflow
+    # The histogram is computed host-side from the compacted counts (like the
+    # single-chip path; the reference's count timer also excludes histogram
+    # work) — a device histogram at upper=65535 would need an (N, 65536)
+    # reduction or a scatter, both hostile to the TPU.
+    return tuple(words_s), cnt, keep, overflow
 
 
 @functools.partial(
@@ -142,7 +144,7 @@ def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh)
         body,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P()),
-        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P()),
         check_rep=False,
     )(codes, valid, assign)
 
@@ -209,7 +211,7 @@ def count_flat_sharded(
 
     capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
     for _attempt in range(4):
-        keys, cnt, keep, hist, overflow = _count_sharded_jit(
+        keys, cnt, keep, overflow = _count_sharded_jit(
             codes_j, valid_j, assign,
             cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
         )
@@ -219,7 +221,7 @@ def count_flat_sharded(
     else:
         raise RuntimeError("exchange capacity overflow after 4 doublings")
 
-    from ..pipeline import compact_keys
+    from ..pipeline import compact_keys, host_histogram
 
     keep_np = np.asarray(keep)
     kmerlist = KmerList(
@@ -227,7 +229,7 @@ def count_flat_sharded(
         counts=np.asarray(cnt)[keep_np],
         k=cfg.k,
     )
-    return kmerlist, np.asarray(hist)
+    return kmerlist, host_histogram(kmerlist.counts, cfg.upper)
 
 
 def partition_read_indices(
@@ -356,21 +358,16 @@ def _count_sharded_ext_jit(
     )(codes, valid, rid, pos)
 
 
-def count_reads_sharded_ext(
+def build_ext_blocks(
     codes: np.ndarray,
     lengths: np.ndarray,
     cfg: KmerConfig,
-    mesh: Optional[Mesh] = None,
+    num_shards: int,
     read_id_offset: int = 0,
-) -> tuple["KmerListExt", np.ndarray]:
-    """Sharded EXT pipeline: per-kmer (rid, pos) occurrence lists."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Per-shard equal-size (codes, valid, rid, pos) blocks for EXT mode."""
     from ..io import fasta as fasta_io
-    from ..pipeline import KmerListExt, host_histogram
 
-    mesh = mesh or make_mesh()
-    num_shards = mesh.devices.size
-
-    # Distribute reads, then build rid/pos per shard block with global ids.
     offsets = np.concatenate([[0], np.cumsum(lengths)])
     per_shard = partition_read_indices(lengths, num_shards)
 
@@ -401,7 +398,25 @@ def count_reads_sharded_ext(
         sv[s, : v.shape[0]] = v
         sr[s, : r.shape[0]] = r
         sp[s, : p.shape[0]] = p
+    return sc, sv, sr, sp, block_len
 
+
+def count_reads_sharded_ext(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    mesh: Optional[Mesh] = None,
+    read_id_offset: int = 0,
+) -> tuple["KmerListExt", np.ndarray]:
+    """Sharded EXT pipeline: per-kmer (rid, pos) occurrence lists."""
+    from ..pipeline import KmerListExt, host_histogram
+
+    mesh = mesh or make_mesh()
+    num_shards = mesh.devices.size
+
+    sc, sv, sr, sp, block_len = build_ext_blocks(
+        codes, lengths, cfg, num_shards, read_id_offset
+    )
     n_local = block_len
     capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
     for _attempt in range(4):

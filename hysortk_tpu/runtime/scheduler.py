@@ -98,13 +98,19 @@ def count_reads_streaming(
             flat = np.concatenate([flat, np.zeros(pad, flat.dtype)])
             valid = np.concatenate([valid, np.zeros(pad, bool)])
         # Unfiltered per-batch pre-count (filter only applies to final totals).
+        # The upper bound here must be unbounded (NOT cfg.upper, and not
+        # 65535): dropping a partial count whose single-batch frequency
+        # exceeds any cap would silently corrupt the merged totals — the
+        # final merge's [lower, upper] filter is the only real bound.
         keys, cnt, keep = _count_device(
             jnp.asarray(flat, jnp.int8),
             jnp.asarray(valid),
             cfg.k,
             1,
-            65535,
+            2**31 - 1,
             cfg.sort_backend,
+            cfg.fuse_keybuild,
+            cfg.fuse_count,
         )
         keep_np = np.asarray(keep)
         from ..pipeline import compact_keys
