@@ -34,10 +34,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pre-aggregate local duplicates before the exchange")
     p.add_argument("--sort", choices=("xla", "pallas"), default="xla",
                    help="device sort backend")
-    p.add_argument("--routing", choices=("kmer_hash", "minimizer"),
-                   default="kmer_hash",
-                   help="multi-device destination rule (minimizer = the "
-                        "reference's virtual-task scheme + balanced dispatch)")
+    p.add_argument("--routing", choices=("range", "kmer_hash", "minimizer"),
+                   default="range",
+                   help="multi-device destination rule: range = sort-once "
+                        "range partition in mixed key space (default); "
+                        "minimizer = the reference's virtual-task scheme + "
+                        "balanced dispatch; kmer_hash = legacy hash-mod")
+    p.add_argument("--classifier", choices=("heavy_hitter", "plain"),
+                   default="heavy_hitter",
+                   help="heavy_hitter: measurement pass pre-sizes exchange "
+                        "capacity and auto-enables the combiner on skew")
     p.add_argument("--fuse-keybuild", action="store_true",
                    help="build canonical keys in one fused Pallas kernel")
     p.add_argument("--fuse-count", action="store_true",
@@ -81,6 +87,7 @@ def main(argv=None) -> int:
         k=args.k, m=args.m, lower=args.lower, upper=args.upper,
         combiner=args.combiner, sort_backend=args.sort,
         extension=args.extension, routing=args.routing,
+        classifier=args.classifier,
         fuse_keybuild=args.fuse_keybuild, fuse_count=args.fuse_count,
     )
 

@@ -48,16 +48,32 @@ class KmerConfig:
     extension: bool = False
 
     # Distribution knobs (multi-device path).
-    # routing: "kmer_hash" routes by a hash of the whole canonical key
-    # (uniform by construction); "minimizer" reproduces the reference's
-    # virtual-task scheme — dest bucket = minimizer hash % (shards *
-    # avg_buckets_per_shard), with bucket->shard placement computed by the
-    # balanced dispatcher from measured bucket sizes
-    # (reference src/kmerops.cpp:1044-1047, 1274-1327).
-    routing: str = "kmer_hash"
+    # routing:
+    #   "range"     (default) — sort each shard once in an invertibly-mixed
+    #               key space and carve contiguous per-destination segments
+    #               out of the sorted order (ops/mixkey.py); receivers get
+    #               sorted runs and only merge. One sort + one merge per
+    #               step.
+    #   "kmer_hash" — legacy: dest = hash(key) % shards, grouped by an
+    #               extra destination sort before the exchange and fully
+    #               re-sorted after it.
+    #   "minimizer" — the reference's virtual-task scheme: dest bucket =
+    #               minimizer hash % (shards * avg_buckets_per_shard) with
+    #               bucket->shard placement from the balanced dispatcher
+    #               (reference src/kmerops.cpp:1044-1047, 1274-1327).
+    routing: str = "range"
     avg_buckets_per_shard: int = 3
     heavy_ratio: float = 2.3
     combiner: bool = False
+
+    # classifier: "heavy_hitter" runs a cheap measurement pass before the
+    # sharded step — exact per-(src,dst) slot maxima pre-size the exchange
+    # capacity (no recompile-retry on skew) and destinations heavier than
+    # heavy_ratio x mean auto-enable the combiner (the reference's
+    # HeavyHitterClassifier, src/kmerops.cpp:1157-1199). "plain" skips the
+    # measurement (reference PLAIN_CLASSIFIER) and falls back to
+    # capacity_factor sizing with overflow-retry.
+    classifier: str = "heavy_hitter"
 
     # Exchange capacity over-provisioning factor: per-(src,dst) slot capacity is
     # ceil(n_local / n_shards * capacity_factor). Analogous in spirit to the
@@ -93,8 +109,10 @@ class KmerConfig:
             )
         if self.sort_backend not in ("xla", "pallas"):
             raise ValueError(f"unknown sort backend {self.sort_backend!r}")
-        if self.routing not in ("kmer_hash", "minimizer"):
+        if self.routing not in ("range", "kmer_hash", "minimizer"):
             raise ValueError(f"unknown routing {self.routing!r}")
+        if self.classifier not in ("heavy_hitter", "plain"):
+            raise ValueError(f"unknown classifier {self.classifier!r}")
         if self.extension and self.combiner:
             # Pre-aggregation would collapse per-occurrence payloads; the
             # reference likewise disables its heavy-hitter path under

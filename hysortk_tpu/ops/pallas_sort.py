@@ -395,8 +395,10 @@ def sort_words(
         ]
 
     # Cap the fuse width so the cross-kernel scratch (2^f blocks per array)
-    # stays within a conservative VMEM budget (~8 MiB).
-    budget = 8 * 1024 * 1024
+    # stays within a conservative VMEM budget (measured: an 8.4 MiB scratch
+    # config lands at 19.2 MiB scoped vmem > the 16 MiB limit; 7 MiB keeps
+    # the known-good configs and rejects the OOM ones).
+    budget = 7 * 1024 * 1024
     while (
         fuse_bits > 1
         and (1 << fuse_bits) * block_rows * LANES * 4 * len(arrays) > budget

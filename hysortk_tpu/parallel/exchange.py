@@ -70,6 +70,46 @@ def pack_by_destination(
     return send_words, send_payloads, counts, overflow
 
 
+def pack_sorted_ranges(
+    sorted_words: Sequence[jnp.ndarray],
+    sorted_payloads: Sequence[jnp.ndarray],
+    offsets: jnp.ndarray,
+    num_shards: int,
+    capacity: int,
+):
+    """Carve per-destination segments out of an already-sorted shard.
+
+    Under range routing (ops/mixkey.py) the destination of a key is a
+    monotone function of the sort order, so the local sort has ALREADY
+    grouped destinations into contiguous segments; `offsets` (length S+1)
+    are their boundaries. No destination sort is needed — packing is a
+    dense gather of S contiguous ranges into the (S, capacity) send buffer.
+
+    Returns (send_words, send_payloads, counts, overflow) like
+    pack_by_destination.
+    """
+    n = sorted_words[0].shape[0]
+    counts = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
+    overflow = jnp.any(counts > capacity)
+    slot_j = jax.lax.broadcasted_iota(jnp.int32, (num_shards, capacity), 1)
+    src = jnp.minimum(offsets[:-1][:, None] + slot_j, n - 1)
+    send_words = [w[src] for w in sorted_words]
+    send_payloads = [p[src] for p in sorted_payloads]
+    return send_words, send_payloads, counts, overflow
+
+
+def mask_invalid_slots(
+    recv_words: Sequence[jnp.ndarray], recv_valid: jnp.ndarray
+) -> list[jnp.ndarray]:
+    """Overwrite slots beyond each row's count with the all-ones sentinel.
+
+    Keeps every received row sorted ascending end to end (the garbage tail
+    becomes a sentinel tail), which the run merge requires.
+    """
+    full = jnp.uint32(0xFFFFFFFF)
+    return [jnp.where(recv_valid, w, full) for w in recv_words]
+
+
 def all_to_all_exchange(
     send_words: Sequence[jnp.ndarray],
     send_payloads: Sequence[jnp.ndarray],

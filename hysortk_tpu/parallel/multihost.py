@@ -109,28 +109,22 @@ def count_fasta_multihost(
         sharding, local_valid, global_shape
     )
 
-    import jax.numpy as jnp
-
-    if cfg.routing == "minimizer":
-        from . import dispatch
-
-        sizes = np.asarray(
-            shard_pipeline._bucket_sizes_jit(
-                codes_g, valid_g, cfg=cfg, num_shards=num_shards, mesh=mesh
-            )
-        )
-        assign = jnp.asarray(dispatch.balanced_assignment(sizes, num_shards))
-    else:
-        assign = jnp.zeros(1, dtype=jnp.int32)
-
-    capacity = max(int(block / num_shards * cfg.capacity_factor), 64)
-    keys, cnt, keep, overflow = shard_pipeline._count_sharded_jit(
-        codes_g, valid_g, assign,
-        cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
+    cfg2, assign, capacity, measured = shard_pipeline.plan_sharded_step(
+        codes_g, valid_g, cfg, num_shards, mesh, block
     )
-    if int(np.asarray(overflow)) != 0:
+
+    attempts = 1 if measured else 4
+    for _attempt in range(attempts):
+        keys, cnt, keep, overflow = shard_pipeline._count_sharded_jit(
+            codes_g, valid_g, assign,
+            cfg=cfg2, num_shards=num_shards, capacity=capacity, mesh=mesh,
+        )
+        if int(np.asarray(overflow)) == 0:
+            break
+        capacity *= 2
+    else:
         raise RuntimeError(
-            "exchange capacity overflow; raise cfg.capacity_factor"
+            f"exchange capacity overflow after {attempts} attempts"
         )
 
     # Each host keeps its addressable shards' results.
@@ -141,6 +135,10 @@ def count_fasta_multihost(
 
     keep_local = local(keep)
     keys_local = np.stack([local(w)[keep_local] for w in keys], axis=-1)
+    if cfg2.routing == "range" and not cfg2.combiner:
+        from ..ops import mixkey
+
+        keys_local = mixkey.unmix_keys_np(keys_local)
     cnt_local = local(cnt)
     kmerlist = KmerList(
         keys=keys_local, counts=cnt_local[keep_local], k=cfg.k
@@ -212,16 +210,34 @@ def count_fasta_multihost_ext(
     codes_g, valid_g = mk(sc.astype(np.int8)), mk(sv)
     rid_g, pos_g = mk(sr), mk(sp)
 
-    capacity = max(int(block / num_shards * cfg.capacity_factor), 64)
-    keys, cnt, keep, srid, spos, overflow = (
-        shard_pipeline._count_sharded_ext_jit(
-            codes_g, valid_g, rid_g, pos_g,
-            cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
+    measured = False
+    if cfg.routing == "range" and cfg.classifier == "heavy_hitter":
+        _, maxslot = shard_pipeline._measure_range_jit(
+            codes_g, valid_g, cfg=cfg, num_shards=num_shards, mesh=mesh
         )
-    )
-    if int(np.asarray(overflow)) != 0:
+        capacity = shard_pipeline._next_pow2(max(int(maxslot), 64))
+        measured = True
+    elif cfg.routing == "range":
+        capacity = shard_pipeline._next_pow2(
+            max(int(block / num_shards * cfg.capacity_factor), 64)
+        )
+    else:
+        capacity = max(int(block / num_shards * cfg.capacity_factor), 64)
+
+    attempts = 1 if measured else 4
+    for _attempt in range(attempts):
+        keys, cnt, keep, srid, spos, overflow = (
+            shard_pipeline._count_sharded_ext_jit(
+                codes_g, valid_g, rid_g, pos_g,
+                cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
+            )
+        )
+        if int(np.asarray(overflow)) == 0:
+            break
+        capacity *= 2
+    else:
         raise RuntimeError(
-            "exchange capacity overflow; raise cfg.capacity_factor"
+            f"exchange capacity overflow after {attempts} attempts"
         )
 
     def local(arr):
@@ -235,8 +251,13 @@ def count_fasta_multihost_ext(
     spos_np = local(spos).astype(np.uint32)
     starts = np.flatnonzero(keep_local)
     counts = cnt_local[starts]
+    keys_local = np.stack([local(w)[keep_local] for w in keys], axis=-1)
+    if cfg.routing == "range":
+        from ..ops import mixkey
+
+        keys_local = mixkey.unmix_keys_np(keys_local)
     kmerlist = KmerListExt(
-        keys=np.stack([local(w)[keep_local] for w in keys], axis=-1),
+        keys=keys_local,
         counts=counts,
         k=cfg.k,
         pos=[spos_np[s : s + c] for s, c in zip(starts, counts)],

@@ -1,27 +1,40 @@
 """Sharded (multi-device / multi-host) k-mer counting pipeline.
 
-SPMD redesign of the reference's rank pipeline (src/kmerops.cpp): one
-shard_map program per device batch does
+SPMD redesign of the reference's rank pipeline (src/kmerops.cpp). The
+default is the *range exchange*: one shard_map program per device batch does
 
-  local canonical keys -> destination hash -> pack -> all_to_all
-  -> local sort -> run-length count -> [L,U] filter -> psum histogram
+  canonical keys -> invertible mix (ops/mixkey.py) -> ONE local sort
+  -> contiguous per-destination segments -> all_to_all
+  -> bitonic merge of the S received sorted runs (ops/merge.py)
+  -> run-length count -> [L,U] filter
 
-Ownership rule: dest = mix(key) % num_shards. The reference routes by
-*minimizer* hash (so co-destined k-mers form supermers that compress the
-MPI wire, src/kmerops.cpp:1044-1047); on ICI we exchange packed keys
-directly, so hashing the whole key gives strictly better balance with the
-same correctness guarantee (equal keys land together). The minimizer
-machinery (ops/minimizer.py) remains in use for the host-side supermer wire
-format (io/supermer.py) used when reads are shipped across DCN.
+Because the mixed sort key doubles as the routing key, the sharded step
+costs exactly one full local sort plus a log(S)-level merge — the
+reference instead pays a full receive-side radix sort per task
+(src/kmerops.cpp:535-541) because its MPI recv buffers arrive unsorted.
 
-With cfg.combiner=True each shard pre-aggregates its local duplicates
-(sort + run-length) and exchanges (key, partial_count) pairs — the always-on
-generalization of the reference's heavy-hitter ScatteredKmerList path
-(src/kmerops.cpp:363-417).
+Ownership rule (range): dest = top bits of the mixed first word — uniform
+even on skewed genomes since the mix has full avalanche. Equal keys mix
+equally, so they land together: same correctness guarantee as the
+reference's minimizer-hash ownership (src/kmerops.cpp:1044-1047).
+
+The classifier (cfg.classifier == "heavy_hitter") runs a cheap measurement
+pass first: exact per-(src,dst) slot maxima pre-size the exchange capacity
+(no recompile-retry on skewed input), and destinations heavier than
+heavy_ratio x mean — which under a keyed routing can only come from
+heavy-hitter *duplicate* k-mers — switch the step to the combiner path,
+where each shard pre-aggregates local duplicates and exchanges
+(key, partial_count) pairs: the generalization of the reference's
+ScatteredKmerList heavy-hitter path (src/kmerops.cpp:363-417, 1157-1199).
+
+routing="minimizer" keeps the reference's virtual-task scheme (minimizer
+buckets + balanced dispatcher) for parity; routing="kmer_hash" keeps the
+legacy hash-mod scheme. Both use the bucketed (dest-sort) exchange.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -35,16 +48,106 @@ from ..config import KmerConfig
 from ..ops import count as count_ops
 from ..ops import hashes
 from ..ops import kmer as kmer_ops
+from ..ops import merge as merge_ops
+from ..ops import mixkey
 from ..ops import sort as sort_ops
 from ..pipeline import KmerList
 from . import exchange
 from .mesh import SHARD_AXIS, make_mesh
 
 
-def _shard_body(
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def _build_marked_mixed(codes, valid, cfg: KmerConfig):
+    """codes/valid -> sentinel-marked, invertibly-mixed key words."""
+    if cfg.fuse_keybuild:
+        from ..ops import keybuild
+
+        marked = keybuild.canonical_keys_fused(codes, valid, cfg.k)
+    else:
+        words = kmer_ops.canonical_words(codes.astype(jnp.int32), cfg.k)
+        marked = sort_ops.apply_sentinel(~valid, words)
+    return mixkey.mix_keys(marked)
+
+
+def _count_merged(merged_words, cfg: KmerConfig):
+    """Sorted sentinel-marked words -> (cnt, keep)."""
+    if cfg.fuse_count:
+        from ..ops import pallas_count
+
+        return pallas_count.run_length_count_filter(
+            merged_words, cfg.lower, cfg.upper
+        )
+    svalid = sort_ops.sentinel_valid(merged_words)
+    head, cnt = count_ops.run_length_count(svalid, merged_words)
+    keep = count_ops.frequency_filter(head, cnt, cfg.lower, cfg.upper)
+    return cnt, keep
+
+
+def _range_exchange_merge(
+    mixed_s, payloads_s, cfg: KmerConfig, num_shards: int, capacity: int
+):
+    """Sorted mixed keys (+payloads) -> merged received runs (+payloads).
+
+    The shared middle of the range pipelines: segment boundaries by
+    searchsorted on static range boundaries, contiguous-range pack, padded
+    all_to_all, sentinel-mask, bitonic merge. Returns
+    (merged_words, merged_payloads, overflow_flag).
+    """
+    n_valid = jnp.sum(sort_ops.sentinel_valid(mixed_s).astype(jnp.int32))
+    bnd = mixkey.range_boundaries(num_shards)[1:-1].astype(np.uint32)
+    inner = jnp.searchsorted(
+        mixed_s[0], jnp.asarray(bnd), side="left"
+    ).astype(jnp.int32)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), inner, n_valid[None]]
+    )
+    send_w, send_p, counts, overflow = exchange.pack_sorted_ranges(
+        mixed_s, payloads_s, offsets, num_shards, capacity
+    )
+    recv_w, recv_p, _, recv_valid = exchange.all_to_all_exchange(
+        send_w, send_p, counts, SHARD_AXIS
+    )
+    recv_w = exchange.mask_invalid_slots(recv_w, recv_valid)
+
+    # Pad the run count to a power of two with all-sentinel runs (the
+    # bitonic merge needs pow2 x pow2 geometry; capacity is pow2 by
+    # construction at the host layer).
+    s2 = _next_pow2(num_shards)
+    if s2 != num_shards:
+        pad_rows = s2 - num_shards
+        full = jnp.full(
+            (pad_rows, capacity), jnp.uint32(0xFFFFFFFF), jnp.uint32
+        )
+        recv_w = [jnp.concatenate([w, full]) for w in recv_w]
+        zeros = jnp.zeros((pad_rows, capacity), jnp.uint32)
+        recv_p = [jnp.concatenate([p, zeros]) for p in recv_p]
+
+    flat = [w.reshape(-1) for w in recv_w] + [p.reshape(-1) for p in recv_p]
+    merged = merge_ops.merge_sorted_runs(flat, len(recv_w), capacity)
+    return merged[: len(recv_w)], merged[len(recv_w) :], overflow
+
+
+def _shard_body_range(
+    codes, valid, *, cfg: KmerConfig, num_shards: int, capacity: int
+):
+    """Default per-shard program: one sort, contiguous pack, merge."""
+    mixed = _build_marked_mixed(codes.astype(jnp.int8), valid, cfg)
+    _, mixed_s, _ = sort_ops.sort_marked(mixed, backend=cfg.sort_backend)
+    merged_w, _, overflow = _range_exchange_merge(
+        mixed_s, [], cfg, num_shards, capacity
+    )
+    cnt, keep = _count_merged(merged_w, cfg)
+    overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
+    return tuple(merged_w), cnt, keep, overflow
+
+
+def _shard_body_bucketed(
     codes, valid, assign, *, cfg: KmerConfig, num_shards: int, capacity: int
 ):
-    """Per-shard computation (runs under shard_map; axis SHARD_AXIS).
+    """Bucketed exchange (minimizer / legacy hash routing, combiner path).
 
     assign: (num_buckets,) int32 bucket->shard table (minimizer routing), or
     a length-1 dummy for kmer_hash routing.
@@ -125,10 +228,8 @@ def _shard_body(
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
 
     # Words returned separately (stacking on device wastes an HBM pass).
-    # The histogram is computed host-side from the compacted counts (like the
-    # single-chip path; the reference's count timer also excludes histogram
-    # work) — a device histogram at upper=65535 would need an (N, 65536)
-    # reduction or a scatter, both hostile to the TPU.
+    # The histogram is computed host-side from the compacted counts (the
+    # reference's count timer likewise excludes histogram work).
     return tuple(words_s), cnt, keep, overflow
 
 
@@ -136,10 +237,22 @@ def _shard_body(
     jax.jit, static_argnames=("cfg", "num_shards", "capacity", "mesh")
 )
 def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh):
-    body = functools.partial(
-        _shard_body, cfg=cfg, num_shards=num_shards, capacity=capacity
-    )
     word_specs = tuple(P(SHARD_AXIS) for _ in range(cfg.words))
+    if cfg.routing == "range" and not cfg.combiner:
+        body = functools.partial(
+            _shard_body_range,
+            cfg=cfg, num_shards=num_shards, capacity=capacity,
+        )
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P()),
+            check_rep=False,
+        )(codes, valid)
+    body = functools.partial(
+        _shard_body_bucketed, cfg=cfg, num_shards=num_shards, capacity=capacity
+    )
     return shard_map(
         body,
         mesh=mesh,
@@ -147,6 +260,32 @@ def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh)
         out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P()),
         check_rep=False,
     )(codes, valid, assign)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_shards", "mesh"))
+def _measure_range_jit(codes, valid, *, cfg, num_shards, mesh):
+    """Classifier measurement pass (reference HeavyHitterClassifier Reduce,
+    src/kmerops.cpp:1157-1199): global per-destination totals + the exact
+    max per-(src,dst) slot count (pre-sizes the exchange capacity)."""
+
+    def body(codes, valid):
+        words = kmer_ops.canonical_words(codes.astype(jnp.int32), cfg.k)
+        mixed0 = mixkey.mix_keys(words)[0]
+        dest = mixkey.range_destinations(mixed0, num_shards)
+        local = count_ops.chunked_bincount(
+            dest, valid, num_shards, chunk=65536
+        )
+        totals = jax.lax.psum(local, SHARD_AXIS)
+        maxslot = jax.lax.pmax(jnp.max(local), SHARD_AXIS)
+        return totals, maxslot
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )(codes, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_shards", "mesh"))
@@ -174,6 +313,56 @@ def _bucket_sizes_jit(codes, valid, *, cfg, num_shards, mesh):
     )(codes, valid)
 
 
+def plan_sharded_step(
+    codes_j, valid_j, cfg: KmerConfig, num_shards: int, mesh, n_local: int
+) -> tuple[KmerConfig, jnp.ndarray, int, bool]:
+    """Choose (cfg, bucket assignment, capacity, measured) for a step.
+
+    Runs the classifier measurement under range routing: exact capacity
+    pre-sizing (measured=True means overflow is impossible, skip retries)
+    and auto-switch to the combiner path when a destination is heavy.
+    """
+    assign = jnp.zeros(1, dtype=jnp.int32)
+    if cfg.routing == "minimizer":
+        from . import dispatch
+
+        sizes = np.asarray(
+            _bucket_sizes_jit(
+                codes_j, valid_j, cfg=cfg, num_shards=num_shards, mesh=mesh
+            )
+        )
+        assign = jnp.asarray(dispatch.balanced_assignment(sizes, num_shards))
+        capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
+        return cfg, assign, capacity, False
+
+    if cfg.routing == "range" and not cfg.combiner:
+        if cfg.classifier == "heavy_hitter":
+            from . import dispatch
+
+            totals, maxslot = _measure_range_jit(
+                codes_j, valid_j, cfg=cfg, num_shards=num_shards, mesh=mesh
+            )
+            types = dispatch.classify(np.asarray(totals), cfg.heavy_ratio)
+            if (types == dispatch.HEAVY).any() and not cfg.extension:
+                # Heavy-hitter duplicates: pre-aggregate locally before the
+                # exchange (reference ScatteredKmerList conversion,
+                # src/kmerops.cpp:693-727).
+                cfg = dataclasses.replace(cfg, combiner=True)
+                capacity = max(
+                    int(n_local / num_shards * cfg.capacity_factor), 64
+                )
+                return cfg, assign, capacity, False
+            capacity = _next_pow2(max(int(maxslot), 64))
+            return cfg, assign, capacity, True
+        capacity = _next_pow2(
+            max(int(n_local / num_shards * cfg.capacity_factor), 64)
+        )
+        return cfg, assign, capacity, False
+
+    capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
+    return cfg, assign, capacity, False
+
+
 def count_flat_sharded(
     codes: np.ndarray,
     valid: np.ndarray,
@@ -183,8 +372,7 @@ def count_flat_sharded(
     """Sharded pipeline entry: flat global (codes, valid) -> (KmerList, hist).
 
     `codes`/`valid` global length must be divisible by the shard count (the
-    host loaders pad per shard). Retries with doubled exchange capacity on
-    overflow (the rare, pathological-skew case).
+    host loaders pad per shard).
     """
     mesh = mesh or make_mesh()
     num_shards = mesh.devices.size
@@ -195,37 +383,32 @@ def count_flat_sharded(
     codes_j = jnp.asarray(codes, dtype=jnp.int8)
     valid_j = jnp.asarray(valid)
 
-    if cfg.routing == "minimizer":
-        from . import dispatch
+    cfg2, assign, capacity, measured = plan_sharded_step(
+        codes_j, valid_j, cfg, num_shards, mesh, n_local
+    )
 
-        sizes = np.asarray(
-            _bucket_sizes_jit(
-                codes_j, valid_j, cfg=cfg, num_shards=num_shards, mesh=mesh
-            )
-        )
-        assign = jnp.asarray(
-            dispatch.balanced_assignment(sizes, num_shards)
-        )
-    else:
-        assign = jnp.zeros(1, dtype=jnp.int32)
-
-    capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
-    for _attempt in range(4):
+    attempts = 1 if measured else 4
+    for _attempt in range(attempts):
         keys, cnt, keep, overflow = _count_sharded_jit(
             codes_j, valid_j, assign,
-            cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
+            cfg=cfg2, num_shards=num_shards, capacity=capacity, mesh=mesh,
         )
         if int(jax.device_get(overflow)) == 0:
             break
         capacity *= 2
     else:
-        raise RuntimeError("exchange capacity overflow after 4 doublings")
+        raise RuntimeError(
+            f"exchange capacity overflow after {attempts} attempts"
+        )
 
     from ..pipeline import compact_keys, host_histogram
 
     keep_np = np.asarray(keep)
+    compact = compact_keys(keys, keep_np)
+    if cfg2.routing == "range" and not cfg2.combiner:
+        compact = mixkey.unmix_keys_np(compact)
     kmerlist = KmerList(
-        keys=compact_keys(keys, keep_np),
+        keys=compact,
         counts=np.asarray(cnt)[keep_np],
         k=cfg.k,
     )
@@ -308,7 +491,24 @@ def count_reads_sharded(
 # ---------------------------------------------------------------------------
 
 
-def _shard_body_ext(
+def _shard_body_ext_range(
+    codes, valid, rid, pos, *, cfg: KmerConfig, num_shards: int, capacity: int
+):
+    """EXT range pipeline: (rid, pos) payloads ride the sort and the merge."""
+    mixed = _build_marked_mixed(codes.astype(jnp.int8), valid, cfg)
+    payloads = [rid.astype(jnp.uint32), pos.astype(jnp.uint32)]
+    _, mixed_s, payl_s = sort_ops.sort_marked(
+        mixed, payloads, backend=cfg.sort_backend
+    )
+    merged_w, merged_p, overflow = _range_exchange_merge(
+        mixed_s, payl_s, cfg, num_shards, capacity
+    )
+    cnt, keep = _count_merged(merged_w, cfg)
+    overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
+    return tuple(merged_w), cnt, keep, merged_p[0], merged_p[1], overflow
+
+
+def _shard_body_ext_bucketed(
     codes, valid, rid, pos, *, cfg: KmerConfig, num_shards: int, capacity: int
 ):
     codes = codes.astype(jnp.int32)
@@ -345,9 +545,16 @@ def _shard_body_ext(
 def _count_sharded_ext_jit(
     codes, valid, rid, pos, *, cfg, num_shards, capacity, mesh
 ):
-    body = functools.partial(
-        _shard_body_ext, cfg=cfg, num_shards=num_shards, capacity=capacity
-    )
+    if cfg.routing == "range":
+        body = functools.partial(
+            _shard_body_ext_range,
+            cfg=cfg, num_shards=num_shards, capacity=capacity,
+        )
+    else:
+        body = functools.partial(
+            _shard_body_ext_bucketed,
+            cfg=cfg, num_shards=num_shards, capacity=capacity,
+        )
     word_specs = tuple(P(SHARD_AXIS) for _ in range(cfg.words))
     return shard_map(
         body,
@@ -418,11 +625,28 @@ def count_reads_sharded_ext(
         codes, lengths, cfg, num_shards, read_id_offset
     )
     n_local = block_len
-    capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
-    for _attempt in range(4):
+    codes_j = jnp.asarray(sc.reshape(-1))
+    valid_j = jnp.asarray(sv.reshape(-1))
+
+    measured = False
+    if cfg.routing == "range" and cfg.classifier == "heavy_hitter":
+        _, maxslot = _measure_range_jit(
+            codes_j, valid_j, cfg=cfg, num_shards=num_shards, mesh=mesh
+        )
+        capacity = _next_pow2(max(int(maxslot), 64))
+        measured = True
+    elif cfg.routing == "range":
+        capacity = _next_pow2(
+            max(int(n_local / num_shards * cfg.capacity_factor), 64)
+        )
+    else:
+        capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
+
+    attempts = 1 if measured else 4
+    for _attempt in range(attempts):
         keys, cnt, keep, srid, spos, overflow = _count_sharded_ext_jit(
-            jnp.asarray(sc.reshape(-1)),
-            jnp.asarray(sv.reshape(-1)),
+            codes_j,
+            valid_j,
             jnp.asarray(sr.reshape(-1)),
             jnp.asarray(sp.reshape(-1)),
             cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
@@ -431,7 +655,9 @@ def count_reads_sharded_ext(
             break
         capacity *= 2
     else:
-        raise RuntimeError("exchange capacity overflow after 4 doublings")
+        raise RuntimeError(
+            f"exchange capacity overflow after {attempts} attempts"
+        )
 
     keep_np = np.asarray(keep)
     cnt_np = np.asarray(cnt)
@@ -441,8 +667,11 @@ def count_reads_sharded_ext(
     counts = cnt_np[starts]
     from ..pipeline import compact_keys
 
+    compact = compact_keys(keys, keep_np)
+    if cfg.routing == "range":
+        compact = mixkey.unmix_keys_np(compact)
     result = KmerListExt(
-        keys=compact_keys(keys, keep_np),
+        keys=compact,
         counts=counts,
         k=cfg.k,
         pos=[spos_np[s : s + c] for s, c in zip(starts, counts)],

