@@ -72,25 +72,40 @@ def kmer_count(
     working set would not fit HBM headroom (the reference instead switches
     sorters on MemFree, src/kmerops.cpp:1344-1379). With config.extension
     the result is a KmerListExt carrying (ReadId, PosInRead) payloads."""
+    import jax
+
     cfg = config or KmerConfig()
+    n_dev = len(jax.devices())
     if cfg.extension:
+        if n_dev > 1:
+            from .parallel.pipeline import count_reads_sharded_ext
+
+            return count_reads_sharded_ext(codes, lengths, cfg)
         return count_reads_ext(codes, lengths, cfg)
     try:
         from .runtime import memcheck
 
         headroom = memcheck.hbm_headroom_bytes()
-        need = int(codes.size) * (4 + 2 * cfg.words * 4 + 8) * 2
+        need = int(codes.size) * (4 + 2 * cfg.words * 4 + 8) * 2 // n_dev
         if headroom is not None and 0 < headroom < need:
-            from .runtime.scheduler import (
-                count_reads_streaming,
-                suggest_batch_bases,
-            )
+            from .runtime.scheduler import suggest_batch_bases
 
-            return count_reads_streaming(
-                codes, lengths, cfg, suggest_batch_bases(cfg)
-            )
+            batch = suggest_batch_bases(cfg)
+            if n_dev > 1:
+                from .parallel.pipeline import count_reads_sharded_streaming
+
+                return count_reads_sharded_streaming(
+                    codes, lengths, cfg, batch * n_dev
+                )
+            from .runtime.scheduler import count_reads_streaming
+
+            return count_reads_streaming(codes, lengths, cfg, batch)
     except Exception:
         pass
+    if n_dev > 1:
+        from .parallel.pipeline import count_reads_sharded
+
+        return count_reads_sharded(codes, lengths, cfg)
     return count_reads(codes, lengths, cfg)
 
 

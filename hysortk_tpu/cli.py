@@ -132,11 +132,18 @@ def main(argv=None) -> int:
 
                 kmerlist, hist = count_reads_ext(codes, lengths, cfg)
         elif args.stream_batch_bases:
-            from .runtime.scheduler import count_reads_streaming
+            if len(devices) > 1 and not args.single_device:
+                from .parallel.pipeline import count_reads_sharded_streaming
 
-            kmerlist, hist = count_reads_streaming(
-                codes, lengths, cfg, args.stream_batch_bases
-            )
+                kmerlist, hist = count_reads_sharded_streaming(
+                    codes, lengths, cfg, args.stream_batch_bases
+                )
+            else:
+                from .runtime.scheduler import count_reads_streaming
+
+                kmerlist, hist = count_reads_streaming(
+                    codes, lengths, cfg, args.stream_batch_bases
+                )
         elif jax.process_count() > 1:
             from .parallel.multihost import count_fasta_multihost
 

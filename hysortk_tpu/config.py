@@ -94,6 +94,11 @@ class KmerConfig:
     # Device batch sizing: flat base-stream padding granularity.
     pad_multiple: int = 1024
 
+    # Internal: emit every distinct key with its raw count ([1, inf) filter).
+    # Used by streaming pre-counts, whose partials must never be clipped
+    # (the final merge applies the real [lower, upper]); not a user knob.
+    unfiltered: bool = False
+
     def __post_init__(self):
         if not (2 < self.k <= 96):
             raise ValueError(f"k must be in (2, 96], got {self.k}")

@@ -72,17 +72,22 @@ def _build_marked_mixed(codes, valid, cfg: KmerConfig):
     return mixkey.mix_keys(marked)
 
 
+def _bounds(cfg: KmerConfig) -> tuple[int, int]:
+    return (1, 2**31 - 1) if cfg.unfiltered else (cfg.lower, cfg.upper)
+
+
 def _count_merged(merged_words, cfg: KmerConfig):
     """Sorted sentinel-marked words -> (cnt, keep)."""
+    lower, upper = _bounds(cfg)
     if cfg.fuse_count:
         from ..ops import pallas_count
 
         return pallas_count.run_length_count_filter(
-            merged_words, cfg.lower, cfg.upper
+            merged_words, lower, upper
         )
     svalid = sort_ops.sentinel_valid(merged_words)
     head, cnt = count_ops.run_length_count(svalid, merged_words)
-    keep = count_ops.frequency_filter(head, cnt, cfg.lower, cfg.upper)
+    keep = count_ops.frequency_filter(head, cnt, lower, upper)
     return cnt, keep
 
 
@@ -224,7 +229,7 @@ def _shard_body_bucketed(
         svalid = inv_s == 0
         head, cnt = count_ops.run_length_count(svalid, words_s)
 
-    keep = count_ops.frequency_filter(head, cnt, cfg.lower, cfg.upper)
+    keep = count_ops.frequency_filter(head, cnt, *_bounds(cfg))
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
 
     # Words returned separately (stacking on device wastes an HBM pass).
@@ -481,6 +486,170 @@ def count_reads_sharded(
         codes, lengths, cfg, mesh.devices.size
     )
     return count_flat_sharded(flat_codes, flat_valid, cfg, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Sharded streaming: bounded HBM at any input size on a mesh — the TPU
+# analogue of the reference's bounded-memory round loop
+# (src/kmerops.cpp:906-1007). Device batches stream through the sharded
+# exchange with an UNFILTERED count (every distinct key survives, the
+# per-batch combiner idea of ScatteredKmerList, src/kmerops.cpp:363-417);
+# compacted per-shard partial (key, count) lists accumulate in host RAM and
+# a final no-exchange device pass merges them per shard (keys stay on their
+# owner shard across batches because the routing rule is fixed).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_shards", "mesh"))
+def _merge_partials_jit(words, cnts, *, cfg, num_shards, mesh):
+    """Per-shard merge of accumulated partials: sort + weighted run-length
+    sum + [L,U] filter (the reference's count_sorted_kmerlist,
+    src/kmerops.cpp:1447-1476). No exchange: keys are already owner-placed.
+
+    words: tuple of W (S*M,) sentinel-marked key arrays; cnts: (S*M,) u32.
+    """
+
+    def body(*args):
+        *ws, cn = args
+        _, words_s, pay_s = sort_ops.sort_marked(
+            [w for w in ws], [cn], backend=cfg.sort_backend
+        )
+        svalid = sort_ops.sentinel_valid(words_s)
+        head, total = count_ops.run_length_sum(
+            svalid, words_s, pay_s[0].astype(jnp.int32)
+        )
+        keep = count_ops.frequency_filter(head, total, cfg.lower, cfg.upper)
+        return tuple(words_s), total, keep
+
+    w = len(words)
+    word_specs = tuple(P(SHARD_AXIS) for _ in range(w))
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * (w + 1),
+        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS)),
+        check_rep=False,
+    )(*words, cnts)
+
+
+def count_reads_sharded_streaming(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    batch_bases: int = 1 << 26,
+    mesh: Optional[Mesh] = None,
+) -> tuple[KmerList, np.ndarray]:
+    """Bounded-memory multi-device counting: peak HBM is set by batch_bases
+    (plus the compacted distinct-key partials of the final merge), not by
+    the input size. Equivalent to count_reads_sharded (asserted in tests).
+    """
+    from ..runtime.scheduler import iter_read_batches
+
+    if cfg.extension:
+        raise ValueError("streaming is unavailable in extension mode")
+
+    mesh = mesh or make_mesh()
+    num_shards = mesh.devices.size
+    cfg_pre_base = dataclasses.replace(cfg, unfiltered=True)
+
+    partial_k: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
+    partial_c: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
+
+    plan = None
+    target_block = None
+    for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
+        flat_c, flat_v = distribute_reads(b_codes, b_lengths, cfg, num_shards)
+        block = flat_c.shape[0] // num_shards
+        if target_block is None or block > target_block:
+            # One compiled shape for the whole stream; grow only if a batch
+            # genuinely exceeds it (oversized single read).
+            target_block = -(-block // cfg.pad_multiple) * cfg.pad_multiple
+        if block < target_block:
+            c2 = np.zeros((num_shards, target_block), dtype=np.int8)
+            v2 = np.zeros((num_shards, target_block), dtype=bool)
+            c2[:, :block] = flat_c.reshape(num_shards, block)
+            v2[:, :block] = flat_v.reshape(num_shards, block)
+            flat_c, flat_v = c2.reshape(-1), v2.reshape(-1)
+        codes_j = jnp.asarray(flat_c, jnp.int8)
+        valid_j = jnp.asarray(flat_v)
+
+        if plan is None:
+            # Routing must stay fixed across batches (a key's owner shard
+            # may not move); plan once on the first batch.
+            plan = plan_sharded_step(
+                codes_j, valid_j, cfg_pre_base, num_shards, mesh,
+                target_block,
+            )
+        cfg_pre, assign, capacity, measured = plan
+
+        for _attempt in range(4):
+            keys, cnt, keep, overflow = _count_sharded_jit(
+                codes_j, valid_j, assign,
+                cfg=cfg_pre, num_shards=num_shards, capacity=capacity,
+                mesh=mesh,
+            )
+            if int(jax.device_get(overflow)) == 0:
+                break
+            capacity *= 2
+            plan = (cfg_pre, assign, capacity, measured)
+        else:
+            raise RuntimeError("exchange capacity overflow after 4 attempts")
+
+        keep_np = np.asarray(keep)
+        cnt_np = np.asarray(cnt)
+        words_np = [np.asarray(w) for w in keys]
+        out_len = keep_np.shape[0] // num_shards
+        for s in range(num_shards):
+            sl = slice(s * out_len, (s + 1) * out_len)
+            km = keep_np[sl]
+            partial_k[s].append(
+                np.stack([w[sl][km] for w in words_np], axis=-1)
+            )
+            partial_c[s].append(cnt_np[sl][km].astype(np.uint32))
+
+    cfg_used = plan[0] if plan is not None else cfg_pre_base
+    mixed_space = cfg_used.routing == "range" and not cfg_used.combiner
+    w = cfg.words
+
+    if plan is None:
+        return (
+            KmerList(
+                np.zeros((0, w), np.uint32), np.zeros(0, np.int32), cfg.k
+            ),
+            np.zeros(cfg.upper + 1, np.int32),
+        )
+
+    # Pad per-shard partial lists to a common length with sentinel keys.
+    sizes = [sum(a.shape[0] for a in pk) for pk in partial_k]
+    m = max(max(sizes), 1)
+    m = -(-m // cfg.pad_multiple) * cfg.pad_multiple
+    all_k = np.full((num_shards, m, w), 0xFFFFFFFF, dtype=np.uint32)
+    all_c = np.zeros((num_shards, m), dtype=np.uint32)
+    for s in range(num_shards):
+        if sizes[s]:
+            ks = np.concatenate(partial_k[s], axis=0)
+            cs = np.concatenate(partial_c[s])
+            all_k[s, : sizes[s]] = ks
+            all_c[s, : sizes[s]] = cs
+
+    words_in = tuple(
+        jnp.asarray(all_k[:, :, i].reshape(-1)) for i in range(w)
+    )
+    keys_s, total, keep = _merge_partials_jit(
+        words_in, jnp.asarray(all_c.reshape(-1)),
+        cfg=cfg, num_shards=num_shards, mesh=mesh,
+    )
+
+    from ..pipeline import compact_keys, host_histogram
+
+    keep_np = np.asarray(keep)
+    compact = compact_keys(keys_s, keep_np)
+    if mixed_space:
+        compact = mixkey.unmix_keys_np(compact)
+    kmerlist = KmerList(
+        keys=compact, counts=np.asarray(total)[keep_np], k=cfg.k
+    )
+    return kmerlist, host_histogram(kmerlist.counts, cfg.upper)
 
 
 # ---------------------------------------------------------------------------

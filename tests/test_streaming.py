@@ -50,3 +50,69 @@ def test_streaming_duplicates_across_batches():
     }
     assert st_list.as_dict() == want
     assert len(want) > 0
+
+
+# --- sharded streaming (bounded HBM on a mesh) -------------------------------
+
+import jax
+import pytest
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual CPU) mesh"
+)
+
+
+@needs_mesh
+def test_sharded_streaming_equals_oneshot():
+    from hysortk_tpu.parallel.pipeline import (
+        count_reads_sharded,
+        count_reads_sharded_streaming,
+    )
+
+    rng = np.random.default_rng(91)
+    reads = oracle.random_reads(rng, 50, 35, 90)
+    reads = reads + reads[:20]
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+
+    one_list, one_hist = count_reads_sharded(codes, lengths, cfg)
+    st_list, st_hist = count_reads_sharded_streaming(
+        codes, lengths, cfg, batch_bases=1200
+    )
+    assert st_list.as_dict() == one_list.as_dict()
+    assert np.array_equal(st_hist, one_hist)
+
+
+@needs_mesh
+def test_sharded_streaming_duplicates_across_batches():
+    read = "ACGTTGCAACGGTACGTACCGGTTACGTACGCAGTACGGTTAAC"
+    reads = [read] * 12
+    cfg = KmerConfig(k=31, m=17, lower=12, upper=12, pad_multiple=128)
+    from hysortk_tpu.parallel.pipeline import count_reads_sharded_streaming
+
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    st_list, _ = count_reads_sharded_streaming(
+        codes, lengths, cfg, batch_bases=100
+    )
+    want = {
+        k.encode(): v
+        for k, v in oracle.oracle_filtered(reads, cfg.k, 12, 12).items()
+    }
+    assert st_list.as_dict() == want
+    assert len(want) > 0
+
+
+@needs_mesh
+def test_sharded_streaming_heavy_single_batch_count():
+    """A kmer whose per-batch count would exceed any uint16 cap must keep
+    its exact total (the streaming analogue of the ADVICE high finding)."""
+    from hysortk_tpu.parallel.pipeline import count_reads_sharded_streaming
+
+    reads = ["A" * 2100]  # poly-A: one kmer, count 2070 in one batch
+    cfg = KmerConfig(k=31, m=17, lower=2070, upper=2070, pad_multiple=128)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    st_list, _ = count_reads_sharded_streaming(
+        codes, lengths, cfg, batch_bases=4096
+    )
+    assert len(st_list) == 1
+    assert int(st_list.counts[0]) == 2070
