@@ -95,27 +95,54 @@ def encode_supermers(
     batches = []
     for b in range(num_buckets):
         sel = np.flatnonzero(run_dest == b)
-        lengths = run_bases[sel].astype(np.uint32)
-        nbytes = (lengths.astype(np.int64) + 3) // 4
-        total = int(nbytes.sum())
-        payload = np.zeros(total, dtype=np.uint8)
-        # Gather each supermer's bases and pack 4/byte.
-        out_off = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
-        for s_i, (fs, lb, oo) in enumerate(
-            zip(run_start_flat[sel], lengths, out_off)
-        ):
-            seq = codes[fs : fs + lb].astype(np.uint8)
-            pad = (-int(lb)) % 4  # int(): negating a numpy uint32 overflows
-            if pad:
-                seq = np.concatenate([seq, np.zeros(pad, np.uint8)])
-            quads = seq.reshape(-1, 4)
-            packed = (
-                (quads[:, 0] << 6) | (quads[:, 1] << 4)
-                | (quads[:, 2] << 2) | quads[:, 3]
-            )
-            payload[oo : oo + packed.size] = packed
-        batches.append(SupermerBatch(lengths, payload))
+        batches.append(
+            _pack_runs(codes, run_start_flat[sel], run_bases[sel])
+        )
     return batches
+
+
+def _pack_runs(
+    codes: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+) -> SupermerBatch:
+    """Pack runs codes[starts[s] : starts[s]+lengths[s]] 4 bases/byte,
+    each run starting on a fresh byte. Fully vectorized (one flat gather
+    per byte lane — no per-run Python loop)."""
+    lengths = lengths.astype(np.uint32)
+    if lengths.size == 0:
+        return SupermerBatch(lengths, np.zeros(0, np.uint8))
+    nbytes = (lengths.astype(np.int64) + 3) // 4
+    out_off = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
+    total = int(nbytes.sum())
+    sup = np.repeat(np.arange(lengths.size, dtype=np.int64), nbytes)
+    byte_in_sup = np.arange(total, dtype=np.int64) - out_off[sup]
+    base0 = starts.astype(np.int64)[sup] + byte_in_sup * 4
+    lb = lengths.astype(np.int64)[sup]
+    vals = np.zeros(total, dtype=np.uint8)
+    limit = max(int(codes.size) - 1, 0)
+    for j in range(4):
+        in_range = byte_in_sup * 4 + j < lb
+        idx = np.minimum(base0 + j, limit)
+        v = np.where(in_range, codes[idx].astype(np.uint8), 0)
+        vals = (vals << 2) | v
+    return SupermerBatch(lengths, vals)
+
+
+def pack_codes_2bit(codes: np.ndarray) -> np.ndarray:
+    """Flat base codes -> uint32 wire words, 16 bases/word big-endian.
+
+    The host side of the device decode in ops/wire.py: word w holds bases
+    16w..16w+15, base b at shift 30 - 2*(b%16). ~2 bits/base on the wire
+    (vs 8 for int8 codes), matching the reference's 2-bit supermer payload
+    density (src/kmerops.cpp:1096-1148)."""
+    n = int(codes.size)
+    pad = -n % 16
+    c = np.zeros(n + pad, dtype=np.uint32)
+    c[:n] = codes.astype(np.uint32)
+    c = c.reshape(-1, 16)
+    out = np.zeros(c.shape[0], dtype=np.uint32)
+    for j in range(16):
+        out |= c[:, j] << np.uint32(30 - 2 * j)
+    return out
 
 
 def decode_supermers(
@@ -133,20 +160,19 @@ def decode_supermers(
     lengths = batch.lengths.astype(np.int64)
     nbytes = (lengths + 3) // 4
     byte_off = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
-
+    base_off = np.concatenate([[0], np.cumsum(lengths)[:-1]])
     total_bases = int(lengths.sum())
-    codes = np.empty(total_bases, dtype=np.uint8)
-    valid = np.zeros(total_bases, dtype=bool)
-    out = 0
-    # Unpack all payload bytes to 4 codes at once, then slice per supermer.
+
+    # Unpack all payload bytes to 4 codes at once, then one vectorized
+    # gather maps each output base to its (supermer, offset) source.
     b = batch.payload
     all4 = np.stack(
         [(b >> 6) & 3, (b >> 4) & 3, (b >> 2) & 3, b & 3], axis=1
     ).reshape(-1)
-    for lb, bo in zip(lengths, byte_off):
-        codes[out : out + lb] = all4[bo * 4 : bo * 4 + lb]
-        valid[out : out + lb - k + 1] = True
-        out += lb
+    sup = np.repeat(np.arange(lengths.size, dtype=np.int64), lengths)
+    base_in_sup = np.arange(total_bases, dtype=np.int64) - base_off[sup]
+    codes = all4[byte_off[sup] * 4 + base_in_sup].astype(np.uint8)
+    valid = base_in_sup <= lengths[sup] - k
     return codes, valid
 
 

@@ -1,0 +1,66 @@
+"""Device-side decode of the 2-bit packed read wire format.
+
+The reference moves every base over the wire 2-bit packed inside supermers
+(SupermerEncoder + copy_bits, src/kmerops.cpp:1096-1148) and re-extracts
+k-mers receiver-side (GatheredSupermer stage 2, src/kmerops.cpp:484-521).
+The TPU analogue of that receive-side parse: hosts feed devices
+(packed uint32 words, read lengths) — ~2 bits/base + 4 B/read on the wire
+instead of 9 bits/base for (int8 codes + bool mask) — and the device
+reconstructs the flat (codes, valid) stream with dense bit math:
+
+  * unpack: one shift/mask broadcast per 16-base word — no gathers;
+  * validity: the last k-1 positions of each read (and everything past the
+    last read) cannot start a k-mer — marked via a tiny scatter-add of
+    +/-1 deltas at read boundaries (O(reads), not O(bases)) and one cumsum.
+
+Packing lives host-side in io/supermer.py (pack_codes_2bit).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def unpack_codes(packed: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(n/16,) uint32 words -> (n,) int8 base codes.
+
+    Word w holds bases 16w..16w+15, base b at bit shift 30 - 2*(b%16)
+    (big-endian within the word, the reference's dnaseq bit order scaled
+    from bytes to words — include/dnaseq.hpp:33-172).
+    """
+    shifts = jnp.uint32(30) - jnp.uint32(2) * jnp.arange(
+        16, dtype=jnp.uint32
+    )
+    codes = (packed.astype(jnp.uint32)[:, None] >> shifts[None, :]) & jnp.uint32(3)
+    return codes.reshape(-1)[:n].astype(jnp.int8)
+
+
+def valid_from_lengths(
+    lengths: jnp.ndarray, k: int, n: int
+) -> jnp.ndarray:
+    """(R,) int32 read lengths (zero-padded) -> (n,) k-mer-start validity.
+
+    Reads are concatenated from flat position 0; position p starts a valid
+    k-mer iff it lies at offset <= len-k inside its read. Equivalent to the
+    host flattener (io/fasta.flatten_for_device) by construction.
+    """
+    lengths = lengths.astype(jnp.int32)
+    ends = jnp.cumsum(lengths)
+    starts = ends - lengths
+    zone_start = jnp.maximum(ends - jnp.int32(k - 1), starts)
+    total = ends[-1] if lengths.shape[0] else jnp.int32(0)
+
+    delta = jnp.zeros(n + 1, jnp.int32)
+    delta = delta.at[jnp.minimum(zone_start, n)].add(1)
+    delta = delta.at[jnp.minimum(ends, n)].add(-1)
+    delta = delta.at[jnp.minimum(total, n)].add(1)  # tail padding invalid
+    invalid = jnp.cumsum(delta[:-1]) > 0
+    return ~invalid
+
+
+def decode_block(
+    packed: jnp.ndarray, lengths: jnp.ndarray, k: int, n: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Wire block -> (codes int8 (n,), valid bool (n,))."""
+    return unpack_codes(packed, n), valid_from_lengths(lengths, k, n)

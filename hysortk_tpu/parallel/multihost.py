@@ -68,13 +68,134 @@ def count_fasta_multihost(
 ) -> tuple[KmerList, np.ndarray]:
     """Full multi-host pipeline: per-host read -> global mesh -> exchange count.
 
+    Under the default range routing the host->device feed uses the 2-bit
+    packed wire (ops/wire.py): ~2 bits/base + 4 B/read, the density of the
+    reference's supermer wire (src/kmerops.cpp:1096-1148), instead of
+    9 bits/base for (int8, bool). Falls back to the unpacked path for the
+    bucketed routings and when the classifier engages the combiner.
+
     Returns this host's shard of the filtered list plus the global histogram.
     """
+    codes, lengths = read_my_shard(fasta_path, cfg)
+    if cfg.routing == "range" and not cfg.combiner:
+        result = _count_multihost_packed(codes, lengths, cfg)
+        if result is not None:
+            return result
+        # Heavy-hitter destinations: rerun through the combiner path.
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, combiner=True)
+    return _count_multihost_unpacked(codes, lengths, cfg)
+
+
+def _count_multihost_packed(
+    codes: np.ndarray, lengths: np.ndarray, cfg: KmerConfig
+) -> Optional[tuple[KmerList, np.ndarray]]:
+    """Packed-wire range pipeline; returns None if the classifier flags a
+    heavy destination (caller switches to the combiner path)."""
+    from ..ops import mixkey
+    from . import dispatch
+
     mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
     n_local_dev = jax.local_device_count()
     num_shards = mesh.devices.size
 
-    codes, lengths = read_my_shard(fasta_path, cfg)
+    packed2d, lens2d, block = shard_pipeline.distribute_reads_packed(
+        codes, lengths, cfg, n_local_dev
+    )
+    packed2d = packed2d.reshape(n_local_dev, -1)
+    lmax = lens2d.shape[1]
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        dims = multihost_utils.process_allgather(
+            np.asarray([block, lmax])
+        )
+        block_max, lmax_max = int(dims[:, 0].max()), int(dims[:, 1].max())
+    else:
+        block_max, lmax_max = block, lmax
+    if block_max != block:
+        packed2d = np.pad(
+            packed2d, ((0, 0), (0, (block_max - block) // 16))
+        )
+        block = block_max
+    if lmax_max != lmax:
+        lens2d = np.pad(lens2d, ((0, 0), (0, lmax_max - lmax)))
+        lmax = lmax_max
+
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+    packed_g = jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(packed2d.reshape(-1)),
+        (num_shards * block // 16,),
+    )
+    lens_g = jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(lens2d.reshape(-1)),
+        (num_shards * lmax,),
+    )
+
+    measured = False
+    if cfg.classifier == "heavy_hitter":
+        totals, maxslot = shard_pipeline._measure_range_packed_jit(
+            packed_g, lens_g,
+            cfg=cfg, num_shards=num_shards, block_len=block, mesh=mesh,
+        )
+        types = dispatch.classify(np.asarray(totals), cfg.heavy_ratio)
+        if bool((types == dispatch.HEAVY).any()):
+            return None
+        capacity = shard_pipeline._next_pow2(max(int(maxslot), 64))
+        measured = True
+    else:
+        capacity = shard_pipeline._next_pow2(
+            max(int(block / num_shards * cfg.capacity_factor), 64)
+        )
+
+    attempts = 1 if measured else 4
+    for _attempt in range(attempts):
+        keys, cnt, keep, overflow = shard_pipeline._count_sharded_packed_jit(
+            packed_g, lens_g,
+            cfg=cfg, num_shards=num_shards, capacity=capacity,
+            block_len=block, mesh=mesh,
+        )
+        if int(np.asarray(overflow)) == 0:
+            break
+        capacity *= 2
+    else:
+        raise RuntimeError(
+            f"exchange capacity overflow after {attempts} attempts"
+        )
+
+    def local(arr):
+        return np.concatenate(
+            [np.asarray(s.data) for s in arr.addressable_shards]
+        )
+
+    keep_local = local(keep)
+    keys_local = np.stack([local(w)[keep_local] for w in keys], axis=-1)
+    keys_local = mixkey.unmix_keys_np(keys_local)
+    cnt_local = local(cnt)
+    kmerlist = KmerList(
+        keys=keys_local, counts=cnt_local[keep_local], k=cfg.k
+    )
+    from ..pipeline import host_histogram
+
+    hist = host_histogram(kmerlist.counts, cfg.upper)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        hist = np.asarray(
+            multihost_utils.process_allgather(hist).sum(axis=0),
+            dtype=np.int32,
+        )
+    return kmerlist, hist
+
+
+def _count_multihost_unpacked(
+    codes: np.ndarray, lengths: np.ndarray, cfg: KmerConfig
+) -> tuple[KmerList, np.ndarray]:
+    mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
+    n_local_dev = jax.local_device_count()
+    num_shards = mesh.devices.size
     # Distribute this host's reads over its local devices.
     local_codes, local_valid = shard_pipeline.distribute_reads(
         codes, lengths, cfg, n_local_dev

@@ -267,22 +267,44 @@ def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh)
     )(codes, valid, assign)
 
 
+def _measure_body(codes, valid, cfg: KmerConfig, num_shards: int):
+    words = kmer_ops.canonical_words(codes.astype(jnp.int32), cfg.k)
+    mixed0 = mixkey.mix_keys(words)[0]
+    dest = mixkey.range_destinations(mixed0, num_shards)
+    local = count_ops.chunked_bincount(dest, valid, num_shards, chunk=65536)
+    totals = jax.lax.psum(local, SHARD_AXIS)
+    maxslot = jax.lax.pmax(jnp.max(local), SHARD_AXIS)
+    return totals, maxslot
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "num_shards", "mesh"))
 def _measure_range_jit(codes, valid, *, cfg, num_shards, mesh):
     """Classifier measurement pass (reference HeavyHitterClassifier Reduce,
     src/kmerops.cpp:1157-1199): global per-destination totals + the exact
     max per-(src,dst) slot count (pre-sizes the exchange capacity)."""
+    return shard_map(
+        lambda c, v: _measure_body(c, v, cfg, num_shards),
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )(codes, valid)
 
-    def body(codes, valid):
-        words = kmer_ops.canonical_words(codes.astype(jnp.int32), cfg.k)
-        mixed0 = mixkey.mix_keys(words)[0]
-        dest = mixkey.range_destinations(mixed0, num_shards)
-        local = count_ops.chunked_bincount(
-            dest, valid, num_shards, chunk=65536
-        )
-        totals = jax.lax.psum(local, SHARD_AXIS)
-        maxslot = jax.lax.pmax(jnp.max(local), SHARD_AXIS)
-        return totals, maxslot
+
+# --- packed-wire variants (multihost feeding, ops/wire.py format) -----------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_shards", "block_len", "mesh")
+)
+def _measure_range_packed_jit(
+    packed, lengths, *, cfg, num_shards, block_len, mesh
+):
+    from ..ops import wire
+
+    def body(pk, ln):
+        codes, valid = wire.decode_block(pk, ln, cfg.k, block_len)
+        return _measure_body(codes, valid, cfg, num_shards)
 
     return shard_map(
         body,
@@ -290,7 +312,82 @@ def _measure_range_jit(codes, valid, *, cfg, num_shards, mesh):
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
         out_specs=(P(), P()),
         check_rep=False,
-    )(codes, valid)
+    )(packed, lengths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_shards", "capacity", "block_len", "mesh"),
+)
+def _count_sharded_packed_jit(
+    packed, lengths, *, cfg, num_shards, capacity, block_len, mesh
+):
+    """Range pipeline fed by the 2-bit packed wire (2 bits/base + 4 B/read
+    host->device instead of 9 bits/base) — the TPU analogue of the
+    reference's receive-side supermer parse (src/kmerops.cpp:484-521)."""
+    from ..ops import wire
+
+    assert cfg.routing == "range" and not cfg.combiner
+
+    def body(pk, ln):
+        codes, valid = wire.decode_block(pk, ln, cfg.k, block_len)
+        return _shard_body_range(
+            codes, valid, cfg=cfg, num_shards=num_shards, capacity=capacity
+        )
+
+    word_specs = tuple(P(SHARD_AXIS) for _ in range(cfg.words))
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P()),
+        check_rep=False,
+    )(packed, lengths)
+
+
+def distribute_reads_packed(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    num_shards: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Base-balanced per-shard blocks in wire format.
+
+    Returns (packed (S * block_len/16,) uint32, lengths2d (S, lmax) int32,
+    block_len). block_len is a multiple of 16 and cfg.pad_multiple.
+    """
+    from ..io import supermer as supermer_io
+
+    per_shard = partition_read_indices(lengths, num_shards)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+
+    shard_codes = []
+    shard_lens = []
+    for part in per_shard:
+        if part:
+            c = np.concatenate(
+                [codes[offsets[i] : offsets[i + 1]] for i in part]
+            )
+            l = lengths[np.asarray(part, dtype=np.int64)].astype(np.int32)
+        else:
+            c = np.zeros(0, dtype=codes.dtype)
+            l = np.zeros(0, dtype=np.int32)
+        shard_codes.append(c)
+        shard_lens.append(l)
+
+    gran = int(np.lcm(16, cfg.pad_multiple))
+    raw = max(max(c.shape[0] for c in shard_codes) + 16, gran)
+    block_len = -(-raw // gran) * gran
+    lmax = max(max(l.shape[0] for l in shard_lens), 1)
+
+    packed = np.zeros((num_shards, block_len // 16), dtype=np.uint32)
+    lens2d = np.zeros((num_shards, lmax), dtype=np.int32)
+    for s in range(num_shards):
+        c = np.zeros(block_len, dtype=np.int8)
+        c[: shard_codes[s].shape[0]] = shard_codes[s]
+        packed[s] = supermer_io.pack_codes_2bit(c)
+        lens2d[s, : shard_lens[s].shape[0]] = shard_lens[s]
+    return packed.reshape(-1), lens2d, block_len
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_shards", "mesh"))

@@ -1,0 +1,109 @@
+"""2-bit packed read wire: host pack (io/supermer.py) <-> device decode
+(ops/wire.py), and the packed multihost feeding path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hysortk_tpu import KmerConfig
+from hysortk_tpu.io import fasta as fasta_io
+from hysortk_tpu.io import supermer as supermer_io
+from hysortk_tpu.ops import wire
+from hysortk_tpu import testing as oracle
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(2)
+    for n in (0, 1, 15, 16, 17, 1000):
+        codes = rng.integers(0, 4, n).astype(np.int8)
+        packed = supermer_io.pack_codes_2bit(codes)
+        assert packed.nbytes <= (n + 15) // 16 * 4
+        back = np.asarray(wire.unpack_codes(jnp.asarray(packed), n))
+        assert np.array_equal(back, codes), n
+
+
+def test_valid_from_lengths_matches_flattener():
+    rng = np.random.default_rng(4)
+    k = 31
+    lengths = rng.integers(5, 120, 40).astype(np.int64)
+    codes = rng.integers(0, 4, int(lengths.sum())).astype(np.int8)
+    flat, valid = fasta_io.flatten_for_device(codes, lengths, k, 256)
+    got = np.asarray(
+        wire.valid_from_lengths(
+            jnp.asarray(lengths.astype(np.int32)), k, flat.shape[0]
+        )
+    )
+    assert np.array_equal(got, valid)
+    # zero-padded lengths tail (the wire ships fixed-size arrays)
+    padded = np.concatenate([lengths, np.zeros(7, np.int64)])
+    got2 = np.asarray(
+        wire.valid_from_lengths(
+            jnp.asarray(padded.astype(np.int32)), k, flat.shape[0]
+        )
+    )
+    assert np.array_equal(got2, valid)
+
+
+def test_wire_density():
+    """Wire bytes ~ bases/4 + 4 B/read — the reference's supermer wire
+    density (2-bit payload + length array, src/kmerops.cpp:1096-1148)."""
+    rng = np.random.default_rng(8)
+    lengths = rng.integers(50, 150, 200).astype(np.int64)
+    codes = rng.integers(0, 4, int(lengths.sum())).astype(np.int8)
+    cfg = KmerConfig(k=31, m=17, pad_multiple=1024)
+    from hysortk_tpu.parallel.pipeline import distribute_reads_packed
+
+    packed, lens2d, block = distribute_reads_packed(codes, lengths, cfg, 4)
+    wire_bytes = packed.nbytes + lens2d.nbytes
+    raw = codes.size  # int8 shipping
+    # padding to pad_multiple dominates small inputs; bound generously
+    assert wire_bytes < raw / 4 + lens2d.nbytes + 4 * 4 * cfg.pad_multiple / 4
+    assert wire_bytes < raw  # strictly better than int8 + bool
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual CPU) mesh"
+)
+def test_packed_sharded_equals_unpacked():
+    from hysortk_tpu.ops import mixkey
+    from hysortk_tpu.parallel.mesh import make_mesh
+    from hysortk_tpu.parallel import pipeline as sp
+    from hysortk_tpu.pipeline import compact_keys
+
+    rng = np.random.default_rng(19)
+    reads = oracle.random_reads(rng, 40, 35, 90) * 2
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    mesh = make_mesh(jax.devices())
+    S = 8
+
+    packed, lens2d, block = sp.distribute_reads_packed(codes, lengths, cfg, S)
+    _, maxslot = sp._measure_range_packed_jit(
+        jnp.asarray(packed), jnp.asarray(lens2d.reshape(-1)),
+        cfg=cfg, num_shards=S, block_len=block, mesh=mesh,
+    )
+    capacity = sp._next_pow2(max(int(maxslot), 64))
+    keys, cnt, keep, overflow = sp._count_sharded_packed_jit(
+        jnp.asarray(packed), jnp.asarray(lens2d.reshape(-1)),
+        cfg=cfg, num_shards=S, capacity=capacity, block_len=block, mesh=mesh,
+    )
+    assert int(np.asarray(overflow)) == 0
+    keep_np = np.asarray(keep)
+    got_keys = mixkey.unmix_keys_np(compact_keys(keys, keep_np))
+    got = dict(
+        zip(
+            [bytes(x) for x in
+             __import__("hysortk_tpu.ops.kmer", fromlist=["decode_keys"])
+             .decode_keys(got_keys, cfg.k).tolist()],
+            np.asarray(cnt)[keep_np].tolist(),
+        )
+    )
+    want = {
+        k.encode(): v
+        for k, v in oracle.oracle_filtered(
+            reads, cfg.k, cfg.lower, cfg.upper
+        ).items()
+    }
+    assert got == want

@@ -37,6 +37,16 @@ from hysortk_tpu.config import KmerConfig
 from hysortk_tpu.parallel import multihost
 
 cfg = KmerConfig(k=31, m=17, lower=2, upper=50, pad_multiple=128)
+
+# Wire-density assertion: the host->device feed must be the 2-bit packed
+# format (~bases/4 payload + 4 B/read lengths), not int8 codes.
+from hysortk_tpu.parallel.pipeline import distribute_reads_packed
+codes_w, lengths_w = multihost.read_my_shard(f"{tmp}/mp.fa", cfg)
+packed_w, lens_w, _ = distribute_reads_packed(codes_w, lengths_w, cfg, 2)
+wire_bytes = packed_w.nbytes + lens_w.nbytes
+budget = codes_w.size / 4 + lens_w.nbytes + 2 * cfg.pad_multiple
+assert wire_bytes <= budget, (wire_bytes, budget)
+
 kmerlist, hist = multihost.count_fasta_multihost(f"{tmp}/mp.fa", cfg)
 
 # Union across processes via files (like the reference's per-rank outputs).
