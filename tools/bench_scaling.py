@@ -47,7 +47,7 @@ def main():
         {n for n in (1, 2, 4, 8, len(all_devs)) if n <= len(all_devs)}
     )
 
-    cfg = KmerConfig(k=31, m=17, lower=2, upper=50)
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, classifier=os.environ.get("HYSORTK_CLASSIFIER", "heavy_hitter"))
     base_rate = None
     for n_dev in sweep:
         mesh = make_mesh(all_devs[:n_dev])
