@@ -100,12 +100,15 @@ def main(argv=None) -> int:
 
     log = Logger()
     devices = jax.devices()
+    multiproc = jax.process_count() > 1
     log.root(f"hysortk_tpu | k={cfg.k} m={cfg.m} L={cfg.lower} U={cfg.upper} "
              f"combiner={cfg.combiner} sort={cfg.sort_backend}")
     log.root(f"devices: {len(devices)} x {devices[0].device_kind}")
     log.root(f"input: {args.fasta}")
 
-    timer = Timer()
+    # Synchronized spans across processes, like the reference Timer's
+    # barrier + MPI_Wtime (include/timer.hpp:24-68).
+    timer = Timer(synchronized=multiproc)
     with timer.span("read_fasta"):
         codes, lengths = read_dna_buffer(args.fasta)
     log.root(f"{lengths.size} reads, {codes.size} bases "
@@ -170,6 +173,9 @@ def main(argv=None) -> int:
         log.root(f"wrote {path}")
 
     log.root(timer.report())
+    from .runtime import memcheck
+
+    log.root(memcheck.gathered_memory_report())
     return 0
 
 

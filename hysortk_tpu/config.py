@@ -103,9 +103,10 @@ class KmerConfig:
         if not (2 < self.k <= 96):
             raise ValueError(f"k must be in (2, 96], got {self.k}")
         if not (0 < self.m < self.k):
+            # Same envelope as the reference (M < K, Makefile:50-52); the
+            # minimizer machinery packs m-mers with the same W-word code
+            # path as k-mers, so any m < k <= 96 works.
             raise ValueError(f"m must be in (0, k), got m={self.m} k={self.k}")
-        if self.m > 32:
-            raise ValueError(f"m must be <= 32 (2-word minimizers), got {self.m}")
         if self.lower < 1:
             raise ValueError(f"lower must be >= 1, got {self.lower}")
         if not (self.lower <= self.upper <= 65535):
@@ -131,7 +132,7 @@ class KmerConfig:
 
     @property
     def mwords(self) -> int:
-        """uint32 words per packed minimizer (m <= 32 -> at most 2)."""
+        """uint32 words per packed minimizer."""
         return words_per_kmer(self.m)
 
     @property

@@ -61,11 +61,14 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
-def _logical_index(shape) -> jnp.ndarray:
-    """Row-major logical index of a (R, 128) view (used by pallas_count)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    return rows * LANES + cols
+def _partner(x: jnp.ndarray, j: int) -> jnp.ndarray:
+    """Value at row-major logical index i^j of a (R, 128) array (j < R*128)."""
+    if j >= LANES:
+        q = j // LANES
+        bit = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) & q) != 0
+        return jnp.where(bit, _roll(x, q, 0), _roll(x, -q, 0))
+    bit = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) & j) != 0
+    return jnp.where(bit, _roll(x, j, 1), _roll(x, -j, 1))
 
 
 def _lex_less_eq(a_words, b_words):
@@ -78,119 +81,26 @@ def _lex_less_eq(a_words, b_words):
     return less, eq
 
 
-def _lex_less(a_words, b_words):
-    """Elementwise lexicographic a < b (no separate eq chain)."""
-    less = jnp.zeros(a_words[0].shape, dtype=jnp.bool_)
-    eq = jnp.ones(a_words[0].shape, dtype=jnp.bool_)
-    for i, (aw, bw) in enumerate(zip(a_words, b_words)):
-        if i == len(a_words) - 1:
-            less = less | (eq & (aw < bw))
-        else:
-            less = less | (eq & (aw < bw))
-            eq = eq & (aw == bw)
-    return less
+def _cex_local(arrs, n_words, j, k_bitpos, i_global):
+    """Compare-exchange at roll distance j (< B) with global bitonic rule.
 
-
-# ---------------------------------------------------------------------------
-# In-block compare-exchange, COLUMN-MAJOR logical mapping.
-#
-# The in-block logical index of element (r, c) of a (R, 128) VMEM block is
-#   i_loc = c * R + r
-# so strides j < R pair SUBLANES — expressible as a pure reshape
-# (R,128) -> (R/2j, 2, j, 128) with the two pair halves as [:, 0] / [:, 1]:
-# zero shuffles, one shared compare, two selects per array, and the swap
-# decision is made once per pair (payload-consistent by construction).
-# Only strides j >= R (j = q*R, q < 128) pair lanes and need rolls.
-# The row-major mapping this replaces paid 2 rolls per array per stage for
-# 7 of every 8 stages; column-major pays them for 1 in 8.
-# ---------------------------------------------------------------------------
-
-
-def _cex_rows(arrs, n_words, j, k_bitpos, base):
-    """CEX at sublane stride j (< R) under the cm mapping.
-
-    base: scalar global logical index of this block's element 0.
-    Direction: take_min iff bit_k(global logical index) == 0; t-bits below
-    log2(2j) never affect bit_k (k >= 2j), so the direction is uniform
-    within each (group, lane) pair and computed on a (g, 1, 1, L) aux.
+    k_bitpos: bit position of the region size k in the global index —
+    take_min iff bit_k(i) == bit_j(i).
     """
-    R, L = arrs[0].shape
-    g = R // (2 * j)
-    views = [a.reshape(g, 2, j, L) for a in arrs]
-    a_h = [v[:, 0] for v in views]
-    b_h = [v[:, 1] for v in views]
-    grp = jax.lax.broadcasted_iota(jnp.int32, (g, 1, L), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (g, 1, L), 2)
-    logical = base + col * R + grp * (2 * j)
-    desc = ((logical >> k_bitpos) & 1) == 1
-    less = _lex_less(b_h[:n_words], a_h[:n_words])
-    swap = less ^ desc  # descending regions also swap equals: harmless,
-    # and the decision is per-pair so payloads stay consistent.
-    out = []
-    for a, b in zip(a_h, b_h):
-        new_a = jnp.where(swap, b, a)
-        new_b = jnp.where(swap, a, b)
-        out.append(
-            jnp.concatenate(
-                [new_a[:, None], new_b[:, None]], axis=1
-            ).reshape(R, L)
-        )
-    return out
-
-
-def _cex_lanes(arrs, n_words, j, k_bitpos, base):
-    """CEX at lane stride j = q*R (q in [1, 128)) under the cm mapping.
-
-    Roll-based: each side fetches its partner and decides independently, so
-    the strict/equal split must be exact (eq chain) for payload consistency.
-    """
-    R, L = arrs[0].shape
-    q = j // R
-    col = jax.lax.broadcasted_iota(jnp.int32, arrs[0].shape, 1)
-    upper = (col & q) != 0
-    partners = [
-        jnp.where(upper, _roll(a, q, 1), _roll(a, -q, 1)) for a in arrs
-    ]
+    partners = [_partner(a, j) for a in arrs]
     less, eq = _lex_less_eq(arrs[:n_words], partners[:n_words])
     greater = ~(less | eq)
-    logical_hi = base + col * R  # r < R <= j <= 2^k_bitpos: rows irrelevant
-    desc = ((logical_hi >> k_bitpos) & 1) == 1
-    take_min = ~(upper ^ desc)
+    bit_k = (i_global >> k_bitpos) & 1
+    bit_j = (i_global >> (int(j).bit_length() - 1)) & 1
+    take_min = (bit_k ^ bit_j) == 0
     swap = (take_min & greater) | (~take_min & less)
     return [jnp.where(swap, p, a) for a, p in zip(arrs, partners)]
 
 
-def _cex_cm(arrs, n_words, j, k_bitpos, base):
-    R = arrs[0].shape[0]
-    if j < R:
-        return _cex_rows(arrs, n_words, j, k_bitpos, base)
-    return _cex_lanes(arrs, n_words, j, k_bitpos, base)
-
-
-def deinterleave_blocks(x: jnp.ndarray, block_rows: int) -> jnp.ndarray:
-    """(N,) cm-block-logical array -> plain ascending order (XLA transpose).
-
-    Element (r, c) of block b holds logical index b*B + c*R + r; one
-    minor-dim transpose per block restores memory order == logical order.
-    """
-    n = x.shape[0]
-    nb = n // (block_rows * LANES)
-    return (
-        x.reshape(nb, block_rows, LANES)
-        .transpose(0, 2, 1)
-        .reshape(n)
-    )
-
-
-def interleave_blocks(x: jnp.ndarray, block_rows: int) -> jnp.ndarray:
-    """Inverse of deinterleave_blocks."""
-    n = x.shape[0]
-    nb = n // (block_rows * LANES)
-    return (
-        x.reshape(nb, LANES, block_rows)
-        .transpose(0, 2, 1)
-        .reshape(n)
-    )
+def _logical_index(shape) -> jnp.ndarray:
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return rows * LANES + cols
 
 
 # ---------------------------------------------------------------------------
@@ -204,13 +114,14 @@ def _block_sort_kernel(n_arrays: int, n_words: int, block_rows: int):
     def kernel(*refs):
         ins, outs = refs[:n_arrays], refs[n_arrays:]
         arrs = [r[:] for r in ins]
-        base = pl.program_id(0) * B
+        beta = pl.program_id(0)
+        i_global = _logical_index(arrs[0].shape) + beta * B
         k = 2
         while k <= B:
             j = k // 2
             while j >= 1:
-                arrs = _cex_cm(
-                    arrs, n_words, j, int(k).bit_length() - 1, base
+                arrs = _cex_local(
+                    arrs, n_words, j, int(k).bit_length() - 1, i_global
                 )
                 j //= 2
             k *= 2
@@ -350,10 +261,11 @@ def _tail_kernel(n_arrays: int, n_words: int, block_rows: int):
         k_bitpos = params_ref[0]
         ins, outs = refs[:n_arrays], refs[n_arrays:]
         arrs = [r[:] for r in ins]
-        base = pl.program_id(0) * B
+        beta = pl.program_id(0)
+        i_global = _logical_index(arrs[0].shape) + beta * B
         j = B // 2
         while j >= 1:
-            arrs = _cex_cm(arrs, n_words, j, k_bitpos, base)
+            arrs = _cex_local(arrs, n_words, j, k_bitpos, i_global)
             j //= 2
         for o, a in zip(outs, arrs):
             o[:] = a
@@ -497,7 +409,5 @@ def sort_words(
     if n_pad > block:
         arrays = merge_levels(arrays, n_words, block_rows, fuse_bits)
 
-    # Kernels work in the column-major in-block logical layout; one XLA
-    # minor-dim transpose per block restores plain ascending memory order.
-    arrays = [deinterleave_blocks(a, block_rows)[:n] for a in arrays]
+    arrays = [a[:n] for a in arrays]
     return arrays[:n_words], arrays[n_words:]

@@ -68,3 +68,31 @@ def hbm_headroom_bytes(device=None, safety: float = 0.9) -> Optional[int]:
     if not stats or not stats["bytes_limit"]:
         return None
     return int(stats["bytes_limit"] * safety) - stats["bytes_in_use"]
+
+
+def gathered_memory_report() -> str:
+    """Cluster-wide memory report: every process's RSS/peak/MemFree gathered
+    and formatted on all hosts — the reference's get_mem_gb Gather + root
+    print (src/memcheck.cpp:60-106)."""
+    import numpy as np
+
+    local = np.asarray(
+        [get_rss_gb(), get_peak_rss_gb(), get_free_memory_kb() / 1024 / 1024],
+        dtype=np.float64,
+    )
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        rows = np.asarray(multihost_utils.process_allgather(local))
+    else:
+        rows = local[None, :]
+    lines = [
+        f"  proc {i}: rss {r[0]:.2f} GB, peak {r[1]:.2f} GB, "
+        f"free {r[2]:.2f} GB"
+        for i, r in enumerate(rows)
+    ]
+    total = rows[:, 0].sum()
+    lines.append(f"  total rss {total:.2f} GB across {rows.shape[0]} procs")
+    return "-- memory --\n" + "\n".join(lines)

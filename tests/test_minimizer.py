@@ -54,3 +54,30 @@ def test_equal_kmers_get_equal_destinations():
         if km in seen:
             assert dests[i] == seen[km], km
         seen[km] = dests[i]
+
+
+def test_large_minimizer_m_beyond_32():
+    """m > 32 (multi-word minimizers) — the reference allows any M < K
+    (Makefile:50-52); the restriction to 2-word minimizers is lifted."""
+    import numpy as np
+    import jax
+
+    from hysortk_tpu import KmerConfig
+    from hysortk_tpu.io import fasta as fasta_io
+    from hysortk_tpu import testing as oracle
+
+    cfg = KmerConfig(k=55, m=40, lower=1, upper=100, routing="minimizer",
+                     pad_multiple=128)
+    assert cfg.mwords == 3
+    rng = np.random.default_rng(7)
+    reads = oracle.random_reads(rng, 16, 60, 120) * 2
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    if len(jax.devices()) >= 2:
+        from hysortk_tpu.parallel.pipeline import count_reads_sharded
+
+        kl, _ = count_reads_sharded(codes, lengths, cfg)
+        want = {
+            k.encode(): v
+            for k, v in oracle.oracle_filtered(reads, 55, 1, 100).items()
+        }
+        assert kl.as_dict() == want
