@@ -43,7 +43,35 @@ __all__ = [
     "count_flat_ext",
     "count_reads",
     "count_reads_ext",
+    "count_reads_sharded",
+    "count_reads_sharded_ext",
+    "count_reads_sharded_streaming",
+    "count_reads_streaming",
+    "count_fasta_multihost",
+    "count_fasta_multihost_ext",
 ]
+
+
+def __getattr__(name):
+    # Heavy submodules load lazily; the sharded/multihost entry points are
+    # re-exported here for library users (facade parity with hysortk.hpp).
+    if name in (
+        "count_reads_sharded",
+        "count_reads_sharded_ext",
+        "count_reads_sharded_streaming",
+    ):
+        from .parallel import pipeline as _pp
+
+        return getattr(_pp, name)
+    if name in ("count_fasta_multihost", "count_fasta_multihost_ext"):
+        from .parallel import multihost as _mh
+
+        return getattr(_mh, name)
+    if name == "count_reads_streaming":
+        from .runtime.scheduler import count_reads_streaming
+
+        return count_reads_streaming
+    raise AttributeError(name)
 
 
 def read_dna_buffer(
