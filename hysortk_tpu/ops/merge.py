@@ -40,6 +40,15 @@ def merge_sorted_runs(
 
     arrays: W key-word arrays (lexicographic) followed by payload arrays,
     all 1-D uint32 of the same length N. Returns the merged arrays.
+
+    Backend choice:
+      * TPU, runs of >= one Pallas block: the sort's own merge-level
+        kernels entered at region size 2*run_len (ops/pallas_sort.py) —
+        the reshape network below tile-pads its (.., 2, j) views up to
+        128/j x on TPU (measured: 36 GB padded for 800 MB of data), so it
+        must never run there at scale.
+      * TPU, short runs: lax.sort re-sort (small inputs; cost irrelevant).
+      * CPU (tests / virtual meshes): the dense reshape network.
     """
     arrays = [a.astype(jnp.uint32) for a in arrays]
     n = arrays[0].shape[0]
@@ -49,6 +58,32 @@ def merge_sorted_runs(
     assert s & (s - 1) == 0, s
     if s == 1:
         return list(arrays)
+
+    if jax.default_backend() == "tpu":
+        from . import pallas_sort
+
+        block = 256 * pallas_sort.LANES
+        if run_len % block == 0:
+            return pallas_sort.merge_runs(
+                arrays, n_words, run_len, block_rows=256
+            )
+        if run_len >= 8 * pallas_sort.LANES:
+            rows = max(run_len // pallas_sort.LANES // 2, 8)
+            if run_len % (rows * pallas_sort.LANES) == 0:
+                return pallas_sort.merge_runs(
+                    arrays, n_words, run_len, block_rows=rows
+                )
+        out = jax.lax.sort(tuple(arrays), num_keys=n_words, is_stable=False)
+        return list(out)
+    return _merge_network_xla(arrays, n_words, run_len)
+
+
+def _merge_network_xla(
+    arrays: list[jnp.ndarray], n_words: int, run_len: int
+) -> list[jnp.ndarray]:
+    """Dense reshape-formulated bitonic merge (CPU-friendly)."""
+    n = arrays[0].shape[0]
+    s = n // run_len
 
     # Reverse odd runs so consecutive run pairs form bitonic sequences —
     # the orientation the level-2L entry point of the network expects.

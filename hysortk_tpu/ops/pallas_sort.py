@@ -278,8 +278,15 @@ def merge_levels(
     n_words: int,
     block_rows: int,
     fuse_bits: int = 3,
+    start_k: int | None = None,
 ) -> list[jnp.ndarray]:
-    """Run all bitonic merge levels above the block size."""
+    """Run bitonic merge levels from region size `start_k` (default: just
+    above the block size) up to the array length.
+
+    With start_k = 2L the input must consist of length-L regions forming
+    bitonic sequences in the standard network orientation (e.g. sorted runs
+    with every odd run reversed) — the entry point merge_sorted_runs uses.
+    """
     n = arrays[0].shape[0]
     block = block_rows * LANES
     n_blocks = n // block
@@ -292,7 +299,8 @@ def merge_levels(
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    k = 2 * block
+    k = start_k if start_k is not None else 2 * block
+    assert k >= 2 * block, (k, block)
     while k <= n:
         u = int(k // block).bit_length() - 2  # k = 2B * 2^u
         k_blockbit = u + 1  # bit of the block index
@@ -411,3 +419,47 @@ def sort_words(
 
     arrays = [a[:n] for a in arrays]
     return arrays[:n_words], arrays[n_words:]
+
+
+def merge_runs(
+    arrays: Sequence[jnp.ndarray],
+    n_words: int,
+    run_len: int,
+    block_rows: int = 256,
+    fuse_bits: int = 4,
+) -> list[jnp.ndarray]:
+    """Merge N/run_len ascending sorted runs with the Pallas merge levels.
+
+    Entry point for the receive side of the range exchange on TPU: runs are
+    reversed at odd positions (one cheap XLA pass) so each run pair forms a
+    bitonic sequence, then the sort's own merge-level kernels finish from
+    region size 2*run_len — log2(runs) levels instead of a full sort.
+
+    run_len must be a power of two and a multiple of the block size; the
+    total length must be run_len * 2^m.
+    """
+    n = arrays[0].shape[0]
+    s = n // run_len
+    assert s & (s - 1) == 0 and run_len & (run_len - 1) == 0, (s, run_len)
+    block = block_rows * LANES
+    assert run_len % block == 0, (run_len, block)
+    if s == 1:
+        return [a.astype(jnp.uint32) for a in arrays]
+
+    def flip_odd(a):
+        a2 = a.astype(jnp.uint32).reshape(s, run_len)
+        odd = (jnp.arange(s, dtype=jnp.int32) & 1).astype(jnp.bool_)
+        return jnp.where(odd[:, None], a2[:, ::-1], a2).reshape(-1)
+
+    arrays = [flip_odd(a) for a in arrays]
+
+    # VMEM budget for the cross kernel (see sort_words).
+    budget = 7 * 1024 * 1024
+    while (
+        fuse_bits > 1
+        and (1 << fuse_bits) * block * 4 * len(arrays) > budget
+    ):
+        fuse_bits -= 1
+    return merge_levels(
+        arrays, n_words, block_rows, fuse_bits, start_k=2 * run_len
+    )

@@ -107,3 +107,46 @@ def test_duplicates_grouped():
     got_w, _ = _run([w0, w1])
     want_w, _ = _ref_sort([w0, w1], [])
     _check_sorted_equal(got_w, want_w)
+
+
+def test_merge_runs_pallas():
+    """Pallas merge-level entry at 2L (the TPU merge backend for the range
+    exchange) matches a full sort, payloads riding."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hysortk_tpu.ops import pallas_sort
+
+    rng = np.random.default_rng(55)
+    run_len = 2048
+    s = 4
+    n = s * run_len
+    w0 = rng.integers(0, 97, n).astype(np.uint32)
+    w1 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    pay = np.arange(n, dtype=np.uint32)
+    # sentinel tails + sorted runs
+    for r in range(s):
+        pad = int(rng.integers(0, run_len // 4))
+        if pad:
+            w0[(r + 1) * run_len - pad : (r + 1) * run_len] = 0xFFFFFFFF
+            w1[(r + 1) * run_len - pad : (r + 1) * run_len] = 0xFFFFFFFF
+        sl = slice(r * run_len, (r + 1) * run_len)
+        order = np.lexsort((w1[sl], w0[sl]))
+        w0[sl], w1[sl], pay[sl] = w0[sl][order], w1[sl][order], pay[sl][order]
+
+    prev = pallas_sort._INTERPRET
+    pallas_sort.set_interpret(True)
+    try:
+        m0, m1, mp = pallas_sort.merge_runs(
+            [jnp.asarray(w0), jnp.asarray(w1), jnp.asarray(pay)],
+            2, run_len, block_rows=8,
+        )
+    finally:
+        pallas_sort.set_interpret(prev)
+    order = np.lexsort((w1, w0))
+    assert np.array_equal(np.asarray(m0), w0[order])
+    assert np.array_equal(np.asarray(m1), w1[order])
+    got = sorted(zip(np.asarray(m0).tolist(), np.asarray(m1).tolist(),
+                     np.asarray(mp).tolist()))
+    exp = sorted(zip(w0.tolist(), w1.tolist(), pay.tolist()))
+    assert got == exp
