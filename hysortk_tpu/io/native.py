@@ -59,6 +59,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p,
         ]
         lib.hk_build_valid.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, u8p]
+        lib.hk_pack_2bit.argtypes = [u8p, ctypes.c_int64, u32p]
         lib.hk_format_output.argtypes = [
             u32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_char_p,
@@ -103,6 +104,17 @@ def strip_and_pack(
         raw, raw_off, seq_len, line_bases, line_width, out_off,
         seq_len.size, out,
     )
+    return out
+
+
+def pack_2bit(codes: np.ndarray) -> Optional[np.ndarray]:
+    """16 base codes per uint32 wire word; len(codes) % 16 == 0."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    out = np.empty(codes.size // 16, dtype=np.uint32)
+    lib.hk_pack_2bit(codes, codes.size, out)
     return out
 
 

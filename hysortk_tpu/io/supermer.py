@@ -136,6 +136,12 @@ def pack_codes_2bit(codes: np.ndarray) -> np.ndarray:
     density (src/kmerops.cpp:1096-1148)."""
     n = int(codes.size)
     pad = -n % 16
+    from . import native
+
+    if pad == 0 and native.available():
+        out = native.pack_2bit(codes.astype(np.uint8, copy=False))
+        if out is not None:
+            return out
     c = np.zeros(n + pad, dtype=np.uint32)
     c[:n] = codes.astype(np.uint32)
     c = c.reshape(-1, 16)

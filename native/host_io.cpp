@@ -91,6 +91,21 @@ void hk_build_valid(const int64_t *lens, int64_t nreads, int64_t k,
   }
 }
 
+// 2-bit wire pack: 16 base codes per uint32 word, base b at bit shift
+// 30 - 2*(b%16) (the host side of ops/wire.py; density of the reference's
+// supermer payload, src/kmerops.cpp:1096-1107). n must be a multiple of 16
+// (callers zero-pad).
+void hk_pack_2bit(const uint8_t *codes, int64_t n, uint32_t *out) {
+  const int64_t words = n / 16;
+#pragma omp parallel for schedule(static)
+  for (int64_t wi = 0; wi < words; ++wi) {
+    const uint8_t *c = codes + wi * 16;
+    uint32_t v = 0;
+    for (int j = 0; j < 16; ++j) v |= (uint32_t)(c[j] & 3u) << (30 - 2 * j);
+    out[wi] = v;
+  }
+}
+
 // Render "kmer\tcount\n" lines for the output writer. counts are int32.
 // Returns the number of bytes written; out must have n * (k + 12) capacity.
 int64_t hk_format_output(const uint32_t *keys, const int32_t *counts,

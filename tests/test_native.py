@@ -57,3 +57,21 @@ def test_strip_and_pack_roundtrip(tmp_path):
     ]
     assert np.array_equal(codes, want)
     assert lengths.tolist() == [len(r) for r in reads]
+
+
+def test_native_pack_2bit_matches_numpy():
+    import numpy as np
+
+    from hysortk_tpu.io import native, supermer
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, 4096).astype(np.int8)
+    got = native.pack_2bit(codes.astype(np.uint8))
+    # numpy reference path (force fallback by using a pad-triggering length)
+    want = supermer.pack_codes_2bit(np.concatenate([codes, np.zeros(3, np.int8)]))
+    # first 4096/16 words must agree (the 3 pad codes only touch the tail)
+    assert np.array_equal(got, want[:256])
