@@ -53,10 +53,12 @@ def test_random_config_sharded_and_streaming(trial):
     lower = int(rng.integers(1, 3))
     upper = int(rng.integers(lower + 5, lower + 80))
     combiner = bool(rng.random() < 0.5)
-    routing = "minimizer" if rng.random() < 0.5 else "kmer_hash"
+    routing = ["range", "minimizer", "kmer_hash"][int(rng.integers(3))]
+    classifier = "heavy_hitter" if rng.random() < 0.5 else "plain"
     cfg = KmerConfig(
         k=k, m=m, lower=lower, upper=upper, pad_multiple=128,
-        combiner=combiner, routing=routing, capacity_factor=3.0,
+        combiner=combiner, routing=routing, classifier=classifier,
+        capacity_factor=3.0,
     )
 
     n_reads = int(rng.integers(10, 50))
