@@ -76,3 +76,14 @@ def oracle_minimizer_dests(
     for i in range(len(s) - k + 1):
         dests.append(min(mhash[i : i + k - m + 1]) % num_buckets)
     return dests
+
+
+def oracle_occurrences(reads: Sequence[str], k: int) -> dict[str, set]:
+    """canonical kmer -> {(read_id, pos), ...} over all occurrences —
+    the EXTENSION-mode payload oracle (reference src/kmerops.cpp:1430-1438)."""
+    occ: dict[str, set] = {}
+    for rid, read in enumerate(reads):
+        r = normalize(read)
+        for i in range(len(r) - k + 1):
+            occ.setdefault(canonical(r[i : i + k]), set()).add((rid, i))
+    return occ
