@@ -256,7 +256,7 @@ def _count_multihost_unpacked(
 
     keep_local = local(keep)
     keys_local = np.stack([local(w)[keep_local] for w in keys], axis=-1)
-    if cfg2.routing == "range" and not cfg2.combiner:
+    if cfg2.routing == "range":
         from ..ops import mixkey
 
         keys_local = mixkey.unmix_keys_np(keys_local)

@@ -149,6 +149,40 @@ def _shard_body_range(
     return tuple(merged_w), cnt, keep, overflow
 
 
+def _shard_body_range_combiner(
+    codes, valid, *, cfg: KmerConfig, num_shards: int, capacity: int
+):
+    """Heavy-hitter per-shard program: pre-aggregate local duplicates, then
+    exchange (mixed key, partial count) entries.
+
+    Because destination order == mixed key order, the compaction of the
+    per-distinct-key entries and their destination grouping are ONE sort:
+    non-head slots are folded to the sentinel and sort away. Two sorts plus
+    a receive-side merge total — the reference's heavy path instead re-sorts
+    the gathered KmerList concatenation (src/kmerops.cpp:546-581).
+    """
+    mixed = _build_marked_mixed(codes.astype(jnp.int8), valid, cfg)
+    _, mixed_s, _ = sort_ops.sort_marked(mixed, backend=cfg.sort_backend)
+    svalid = sort_ops.sentinel_valid(mixed_s)
+    head, local_cnt = count_ops.run_length_count(svalid, mixed_s)
+    full = jnp.uint32(0xFFFFFFFF)
+    entry_words = [jnp.where(head, w, full) for w in mixed_s]
+    _, entry_s, pay_s = sort_ops.sort_marked(
+        entry_words, [local_cnt.astype(jnp.uint32)],
+        backend=cfg.sort_backend,
+    )
+    merged_w, merged_p, overflow = _range_exchange_merge(
+        entry_s, pay_s, cfg, num_shards, capacity
+    )
+    svalid2 = sort_ops.sentinel_valid(merged_w)
+    head2, cnt = count_ops.run_length_sum(
+        svalid2, merged_w, merged_p[0].astype(jnp.int32)
+    )
+    keep = count_ops.frequency_filter(head2, cnt, *_bounds(cfg))
+    overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
+    return tuple(merged_w), cnt, keep, overflow
+
+
 def _shard_body_bucketed(
     codes, valid, assign, *, cfg: KmerConfig, num_shards: int, capacity: int
 ):
@@ -243,9 +277,9 @@ def _shard_body_bucketed(
 )
 def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh):
     word_specs = tuple(P(SHARD_AXIS) for _ in range(cfg.words))
-    if cfg.routing == "range" and not cfg.combiner:
+    if cfg.routing == "range":
         body = functools.partial(
-            _shard_body_range,
+            _shard_body_range_combiner if cfg.combiner else _shard_body_range,
             cfg=cfg, num_shards=num_shards, capacity=capacity,
         )
         return shard_map(
@@ -448,14 +482,28 @@ def plan_sharded_step(
             if (types == dispatch.HEAVY).any() and not cfg.extension:
                 # Heavy-hitter duplicates: pre-aggregate locally before the
                 # exchange (reference ScatteredKmerList conversion,
-                # src/kmerops.cpp:693-727).
+                # src/kmerops.cpp:693-727). Entries per (src,dst) are
+                # bounded by distinct keys, so the measured raw maximum is
+                # only an upper bound — size heuristically, keep retries.
                 cfg = dataclasses.replace(cfg, combiner=True)
-                capacity = max(
-                    int(n_local / num_shards * cfg.capacity_factor), 64
+                capacity = _next_pow2(
+                    max(
+                        min(
+                            int(maxslot),
+                            int(n_local / num_shards * cfg.capacity_factor),
+                        ),
+                        64,
+                    )
                 )
                 return cfg, assign, capacity, False
             capacity = _next_pow2(max(int(maxslot), 64))
             return cfg, assign, capacity, True
+        capacity = _next_pow2(
+            max(int(n_local / num_shards * cfg.capacity_factor), 64)
+        )
+        return cfg, assign, capacity, False
+    if cfg.routing == "range":
+        # Explicit range + combiner: pow2 capacity for the run merge.
         capacity = _next_pow2(
             max(int(n_local / num_shards * cfg.capacity_factor), 64)
         )
@@ -507,7 +555,7 @@ def count_flat_sharded(
 
     keep_np = np.asarray(keep)
     compact = compact_keys(keys, keep_np)
-    if cfg2.routing == "range" and not cfg2.combiner:
+    if cfg2.routing == "range":
         compact = mixkey.unmix_keys_np(compact)
     kmerlist = KmerList(
         keys=compact,
@@ -705,7 +753,7 @@ def count_reads_sharded_streaming(
             partial_c[s].append(cnt_np[sl][km].astype(np.uint32))
 
     cfg_used = plan[0] if plan is not None else cfg_pre_base
-    mixed_space = cfg_used.routing == "range" and not cfg_used.combiner
+    mixed_space = cfg_used.routing == "range"
     w = cfg.words
 
     if plan is None:
