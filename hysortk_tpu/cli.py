@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="heavy_hitter",
                    help="heavy_hitter: measurement pass pre-sizes exchange "
                         "capacity and auto-enables the combiner on skew")
+    p.add_argument("--dispatcher", choices=("balanced", "round_robin"),
+                   default="balanced",
+                   help="bucket placement under minimizer routing")
+    p.add_argument("--profile", metavar="LOGDIR", default=None,
+                   help="capture a jax.profiler trace of the counting stage")
     p.add_argument("--fuse-keybuild", action="store_true",
                    help="build canonical keys in one fused Pallas kernel")
     p.add_argument("--fuse-count", action="store_true",
@@ -87,7 +92,7 @@ def main(argv=None) -> int:
         k=args.k, m=args.m, lower=args.lower, upper=args.upper,
         combiner=args.combiner, sort_backend=args.sort,
         extension=args.extension, routing=args.routing,
-        classifier=args.classifier,
+        classifier=args.classifier, dispatcher=args.dispatcher,
         fuse_keybuild=args.fuse_keybuild, fuse_count=args.fuse_count,
     )
 
@@ -114,7 +119,16 @@ def main(argv=None) -> int:
     log.root(f"{lengths.size} reads, {codes.size} bases "
              f"({codes.size / max(timer.last('read_fasta'), 1e-9) / 1e6:.1f} Mb/s)")
 
-    with timer.span("kmer_count"):
+    import contextlib
+
+    if args.profile:
+        from .runtime.profiling import trace as profile_trace
+
+        profile_cm = profile_trace(args.profile)
+    else:
+        profile_cm = contextlib.nullcontext()
+
+    with profile_cm, timer.span("kmer_count"):
         if args.extension:
             if args.stream_batch_bases:
                 # Per-occurrence payloads cannot be pre-aggregated into

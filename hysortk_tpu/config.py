@@ -66,6 +66,12 @@ class KmerConfig:
     heavy_ratio: float = 2.3
     combiner: bool = False
 
+    # Bucket->shard placement under minimizer routing: "balanced" = the
+    # reference's BalancedDispatcher first-fit sweep
+    # (src/kmerops.cpp:1274-1327); "round_robin" = i % shards
+    # (RoundRobinDispatcher, src/kmerops.cpp:1201-1211).
+    dispatcher: str = "balanced"
+
     # classifier: "heavy_hitter" runs a cheap measurement pass before the
     # sharded step — exact per-(src,dst) slot maxima pre-size the exchange
     # capacity (no recompile-retry on skew) and destinations heavier than
@@ -119,6 +125,8 @@ class KmerConfig:
             raise ValueError(f"unknown routing {self.routing!r}")
         if self.classifier not in ("heavy_hitter", "plain"):
             raise ValueError(f"unknown classifier {self.classifier!r}")
+        if self.dispatcher not in ("balanced", "round_robin"):
+            raise ValueError(f"unknown dispatcher {self.dispatcher!r}")
         if self.extension and self.combiner:
             # Pre-aggregation would collapse per-occurrence payloads; the
             # reference likewise disables its heavy-hitter path under

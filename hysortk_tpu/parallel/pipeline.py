@@ -462,12 +462,22 @@ def plan_sharded_step(
     if cfg.routing == "minimizer":
         from . import dispatch
 
-        sizes = np.asarray(
-            _bucket_sizes_jit(
-                codes_j, valid_j, cfg=cfg, num_shards=num_shards, mesh=mesh
+        if cfg.dispatcher == "round_robin":
+            assign = jnp.asarray(
+                dispatch.round_robin_assignment(
+                    num_shards * cfg.avg_buckets_per_shard, num_shards
+                )
             )
-        )
-        assign = jnp.asarray(dispatch.balanced_assignment(sizes, num_shards))
+        else:
+            sizes = np.asarray(
+                _bucket_sizes_jit(
+                    codes_j, valid_j, cfg=cfg, num_shards=num_shards,
+                    mesh=mesh,
+                )
+            )
+            assign = jnp.asarray(
+                dispatch.balanced_assignment(sizes, num_shards)
+            )
         capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
         return cfg, assign, capacity, False
 

@@ -48,3 +48,32 @@ def test_every_bucket_assigned():
     assign = dispatch.balanced_assignment(sizes, 4)
     assert (assign >= 0).all()
     assert set(assign.tolist()) <= set(range(4))
+
+
+def test_round_robin_dispatcher_in_pipeline():
+    """cfg.dispatcher='round_robin' drives the RoundRobinDispatcher analogue
+    (reference src/kmerops.cpp:1201-1211) through the minimizer pipeline."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    import numpy as np
+
+    from hysortk_tpu import KmerConfig
+    from hysortk_tpu.io import fasta as fasta_io
+    from hysortk_tpu.parallel.pipeline import count_reads_sharded
+    from hysortk_tpu import testing as oracle
+
+    rng = np.random.default_rng(61)
+    reads = oracle.random_reads(rng, 30, 35, 80) * 2
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=60, routing="minimizer",
+                     dispatcher="round_robin", pad_multiple=128,
+                     capacity_factor=3.0)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    kl, _ = count_reads_sharded(codes, lengths, cfg)
+    want = {
+        km.encode(): v
+        for km, v in oracle.oracle_filtered(reads, 31, 1, 60).items()
+    }
+    assert kl.as_dict() == want
