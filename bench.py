@@ -60,7 +60,10 @@ def main():
                      fuse_count=True)
 
     platform = jax.devices()[0].platform
-    total_bases = 1 << 26 if platform != "cpu" else 1 << 21
+    # Sized so the flattened device array lands EXACTLY on 2^26: lax.sort
+    # pads to the next power of two internally, and crossing the boundary
+    # by even one pad block costs ~26% (measured 244.9 vs 309.4 ms).
+    total_bases = (1 << 26) - 8192 if platform != "cpu" else 1 << 21
     read_len = 1024
     codes, valid = make_input(total_bases, read_len, cfg.k)
     n_kmers = int(valid.sum())
