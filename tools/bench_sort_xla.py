@@ -89,40 +89,10 @@ def main():
         )
         rec(f"xla_rows{rows}_2key", timeit(sb, a2, b2))
 
-    # Hybrid: pallas phase A (sorted 2^15 blocks) + XLA reshape-formulated
-    # bitonic merge levels (ops/merge.py works on asc runs; phase A emits
-    # alternating asc/desc, so flip via merge's own odd-run reversal by
-    # treating block size as run length — requires asc runs, so re-sort
-    # ascending-only phase A is approximated here by merging lax-sorted
-    # chunks instead).
-    from hysortk_tpu.ops import merge as merge_ops
-
-    run_len = 1 << 15
-    rows = n // run_len
-    a2 = a.reshape(rows, run_len)
-    b2 = b.reshape(rows, run_len)
-
-    def hybrid(x2, y2):
-        xs, ys = jax.lax.sort(
-            (x2, y2), dimension=1, num_keys=2, is_stable=False
-        )
-        m = merge_ops.merge_sorted_runs(
-            [xs.reshape(-1), ys.reshape(-1)], 2, run_len
-        )
-        return m[0]
-
-    rec("hybrid_rowsort_xlamerge", timeit(jax.jit(hybrid), a2, b2))
-
-    # XLA merge levels alone (input: lax-sorted runs).
-    xs, ys = jax.jit(
-        lambda x, y: jax.lax.sort((x, y), dimension=1, num_keys=2)
-    )(a2, b2)
-    xs1, ys1 = xs.reshape(-1), ys.reshape(-1)
-    mo = jax.jit(
-        lambda x, y: merge_ops.merge_sorted_runs([x, y], 2, run_len)[0]
-    )
-    rec("xlamerge_only", timeit(mo, xs1, ys1))
-
+    # NOTE: an XLA reshape-network merge stage was tried here and OOM'd at
+    # compile time (the (.., 2, j) views tile-pad up to 128/j x — see the
+    # CLAUDE.md ledger); the Pallas merge replaced it
+    # (tools/bench_merge_tpu.py).
     print("DONE", flush=True)
 
 
