@@ -124,10 +124,10 @@ def test_range_pipeline_matches_oracle(n_dev, classifier):
 
 
 @pytestmark_multi
-@pytest.mark.parametrize("k", [15, 55])
+@pytest.mark.parametrize("k", [15, 55, 77])  # W = 1, 4, 5 (odd Feistel cycle)
 def test_range_pipeline_multiword(k):
     rng = np.random.default_rng(29)
-    reads = oracle.random_reads(rng, 30, 20 if k == 15 else 70, 120) * 2
+    reads = oracle.random_reads(rng, 30, 20 if k == 15 else 90, 140) * 2
     cfg = KmerConfig(
         k=k, m=min(13, k - 2), lower=1, upper=100, routing="range",
         pad_multiple=128,
