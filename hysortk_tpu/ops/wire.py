@@ -64,3 +64,44 @@ def decode_block(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Wire block -> (codes int8 (n,), valid bool (n,))."""
     return unpack_codes(packed, n), valid_from_lengths(lengths, k, n)
+
+
+def rid_pos_from_lengths(
+    lengths: jnp.ndarray, n: int, rid_base: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(R,) read lengths -> per-position (read id, pos in read).
+
+    EXTENSION payloads need not travel the wire at all: both are derivable
+    from the lengths array with one boundary scatter + cumulative scans
+    (rid = running count of read starts; pos = distance from the last
+    start, via a cumulative max of start positions). Only meaningful where
+    valid_from_lengths is True.
+    """
+    lengths = lengths.astype(jnp.int32)
+    ends = jnp.cumsum(lengths)
+    starts = ends - lengths
+    start_marks = jnp.zeros(n + 1, jnp.int32)
+    # Zero-length pad reads all scatter +1 onto the same (tail) index; the
+    # valid mask already excludes everything at/after the real total.
+    start_marks = start_marks.at[jnp.minimum(starts, n)].add(
+        jnp.where(lengths > 0, 1, 0)
+    )
+    rid = jnp.cumsum(start_marks[:-1]) - 1 + jnp.int32(rid_base)
+    is_start = start_marks[:-1] > 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    last_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    pos = (idx - last_start).astype(jnp.uint32)
+    return rid, pos
+
+
+def decode_block_ext(
+    packed: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k: int,
+    n: int,
+    rid_base: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """EXT wire block -> (codes, valid, rid, pos)."""
+    codes, valid = decode_block(packed, lengths, k, n)
+    rid, pos = rid_pos_from_lengths(lengths, n, rid_base)
+    return codes, valid, rid, pos

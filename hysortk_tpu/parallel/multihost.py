@@ -89,18 +89,31 @@ def count_fasta_multihost(
 
 
 def _count_multihost_packed(
-    codes: np.ndarray, lengths: np.ndarray, cfg: KmerConfig
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    mesh: Optional[Mesh] = None,
 ) -> Optional[tuple[KmerList, np.ndarray]]:
     """Packed-wire range pipeline; returns None if the classifier flags a
-    heavy destination (caller switches to the combiner path)."""
+    heavy destination (caller switches to the combiner path).
+
+    Works for any process count — with one process it is also the packed
+    backend of count_reads_sharded (make_array_from_process_local_data
+    degenerates to a sharded device_put).
+    """
     from ..ops import mixkey
     from . import dispatch
 
-    mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
-    n_local_dev = jax.local_device_count()
+    mesh = mesh if mesh is not None else Mesh(
+        np.asarray(jax.devices()), (SHARD_AXIS,)
+    )
+    pidx = jax.process_index()
+    n_local_dev = sum(
+        1 for d in mesh.devices.flat if d.process_index == pidx
+    )
     num_shards = mesh.devices.size
 
-    packed2d, lens2d, block = shard_pipeline.distribute_reads_packed(
+    packed2d, lens2d, block, _ = shard_pipeline.distribute_reads_packed(
         codes, lengths, cfg, n_local_dev
     )
     packed2d = packed2d.reshape(n_local_dev, -1)

@@ -379,16 +379,51 @@ def _count_sharded_packed_jit(
     )(packed, lengths)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_shards", "capacity", "block_len", "mesh"),
+)
+def _count_sharded_ext_packed_jit(
+    packed, lengths, rid_base, *, cfg, num_shards, capacity, block_len, mesh
+):
+    """EXT range pipeline on the wire format: (rid, pos) payloads are
+    derived ON DEVICE from the read lengths (ops/wire.rid_pos_from_lengths)
+    — they never travel host->device at all."""
+    from ..ops import wire
+
+    assert cfg.routing == "range"
+
+    def body(pk, ln, rb):
+        codes, valid = wire.decode_block(pk, ln, cfg.k, block_len)
+        rid, pos = wire.rid_pos_from_lengths(ln, block_len, 0)
+        rid = rid + rb[0]
+        return _shard_body_ext_range(
+            codes, valid, rid, pos,
+            cfg=cfg, num_shards=num_shards, capacity=capacity,
+        )
+
+    word_specs = tuple(P(SHARD_AXIS) for _ in range(cfg.words))
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 3,
+        out_specs=(word_specs,) + (P(SHARD_AXIS),) * 4 + (P(),),
+        check_rep=False,
+    )(packed, lengths, rid_base)
+
+
 def distribute_reads_packed(
     codes: np.ndarray,
     lengths: np.ndarray,
     cfg: KmerConfig,
     num_shards: int,
-) -> tuple[np.ndarray, np.ndarray, int]:
+    read_id_offset: int = 0,
+) -> tuple[np.ndarray, np.ndarray, int, np.ndarray]:
     """Base-balanced per-shard blocks in wire format.
 
     Returns (packed (S * block_len/16,) uint32, lengths2d (S, lmax) int32,
-    block_len). block_len is a multiple of 16 and cfg.pad_multiple.
+    block_len, rid_base (S,) int32 — the global id of each shard's first
+    read). block_len is a multiple of 16 and cfg.pad_multiple.
     """
     from ..io import supermer as supermer_io
 
@@ -397,15 +432,18 @@ def distribute_reads_packed(
 
     shard_codes = []
     shard_lens = []
-    for part in per_shard:
+    rid_base = np.zeros(num_shards, dtype=np.int32)
+    for s, part in enumerate(per_shard):
         if part:
             c = np.concatenate(
                 [codes[offsets[i] : offsets[i + 1]] for i in part]
             )
             l = lengths[np.asarray(part, dtype=np.int64)].astype(np.int32)
+            rid_base[s] = read_id_offset + part[0]
         else:
             c = np.zeros(0, dtype=codes.dtype)
             l = np.zeros(0, dtype=np.int32)
+            rid_base[s] = read_id_offset
         shard_codes.append(c)
         shard_lens.append(l)
 
@@ -421,7 +459,7 @@ def distribute_reads_packed(
         c[: shard_codes[s].shape[0]] = shard_codes[s]
         packed[s] = supermer_io.pack_codes_2bit(c)
         lens2d[s, : shard_lens[s].shape[0]] = shard_lens[s]
-    return packed.reshape(-1), lens2d, block_len
+    return packed.reshape(-1), lens2d, block_len, rid_base
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_shards", "mesh"))
@@ -637,6 +675,16 @@ def count_reads_sharded(
     mesh: Optional[Mesh] = None,
 ) -> tuple[KmerList, np.ndarray]:
     mesh = mesh or make_mesh()
+    if cfg.routing == "range" and not cfg.combiner:
+        # Feed devices over the 2-bit packed wire (~2 bits/base + 4 B/read
+        # instead of 9 bits/base); falls through to the unpacked flow when
+        # the classifier flags heavy-hitter destinations.
+        from . import multihost
+
+        result = multihost._count_multihost_packed(codes, lengths, cfg, mesh)
+        if result is not None:
+            return result
+        cfg = dataclasses.replace(cfg, combiner=True)
     flat_codes, flat_valid = distribute_reads(
         codes, lengths, cfg, mesh.devices.size
     )
@@ -939,49 +987,79 @@ def count_reads_sharded_ext(
     mesh: Optional[Mesh] = None,
     read_id_offset: int = 0,
 ) -> tuple["KmerListExt", np.ndarray]:
-    """Sharded EXT pipeline: per-kmer (rid, pos) occurrence lists."""
+    """Sharded EXT pipeline: per-kmer (rid, pos) occurrence lists.
+
+    Under range routing the host->device feed is the 2-bit packed wire and
+    the (rid, pos) payloads are derived on device from the read lengths —
+    ~9x less wire than shipping (int8, bool, int32, uint32) per base.
+    """
     from ..pipeline import KmerListExt, host_histogram
 
     mesh = mesh or make_mesh()
     num_shards = mesh.devices.size
 
-    sc, sv, sr, sp, block_len = build_ext_blocks(
-        codes, lengths, cfg, num_shards, read_id_offset
-    )
-    n_local = block_len
-    codes_j = jnp.asarray(sc.reshape(-1))
-    valid_j = jnp.asarray(sv.reshape(-1))
+    if cfg.routing == "range":
+        packed, lens2d, block_len, rid_base = distribute_reads_packed(
+            codes, lengths, cfg, num_shards, read_id_offset
+        )
+        packed_j = jnp.asarray(packed)
+        lens_j = jnp.asarray(lens2d.reshape(-1))
+        rid_j = jnp.asarray(rid_base)
+        n_local = block_len
 
-    measured = False
-    if cfg.routing == "range" and cfg.classifier == "heavy_hitter":
-        _, maxslot = _measure_range_jit(
-            codes_j, valid_j, cfg=cfg, num_shards=num_shards, mesh=mesh
-        )
-        capacity = _next_pow2(max(int(maxslot), 64))
-        measured = True
-    elif cfg.routing == "range":
-        capacity = _next_pow2(
-            max(int(n_local / num_shards * cfg.capacity_factor), 64)
-        )
+        measured = False
+        if cfg.classifier == "heavy_hitter":
+            _, maxslot = _measure_range_packed_jit(
+                packed_j, lens_j,
+                cfg=cfg, num_shards=num_shards, block_len=block_len,
+                mesh=mesh,
+            )
+            capacity = _next_pow2(max(int(maxslot), 64))
+            measured = True
+        else:
+            capacity = _next_pow2(
+                max(int(n_local / num_shards * cfg.capacity_factor), 64)
+            )
+
+        attempts = 1 if measured else 4
+        for _attempt in range(attempts):
+            keys, cnt, keep, srid, spos, overflow = (
+                _count_sharded_ext_packed_jit(
+                    packed_j, lens_j, rid_j,
+                    cfg=cfg, num_shards=num_shards, capacity=capacity,
+                    block_len=block_len, mesh=mesh,
+                )
+            )
+            if int(jax.device_get(overflow)) == 0:
+                break
+            capacity *= 2
+        else:
+            raise RuntimeError(
+                f"exchange capacity overflow after {attempts} attempts"
+            )
     else:
+        sc, sv, sr, sp, block_len = build_ext_blocks(
+            codes, lengths, cfg, num_shards, read_id_offset
+        )
+        n_local = block_len
+        codes_j = jnp.asarray(sc.reshape(-1))
+        valid_j = jnp.asarray(sv.reshape(-1))
         capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
-
-    attempts = 1 if measured else 4
-    for _attempt in range(attempts):
-        keys, cnt, keep, srid, spos, overflow = _count_sharded_ext_jit(
-            codes_j,
-            valid_j,
-            jnp.asarray(sr.reshape(-1)),
-            jnp.asarray(sp.reshape(-1)),
-            cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
-        )
-        if int(jax.device_get(overflow)) == 0:
-            break
-        capacity *= 2
-    else:
-        raise RuntimeError(
-            f"exchange capacity overflow after {attempts} attempts"
-        )
+        for _attempt in range(4):
+            keys, cnt, keep, srid, spos, overflow = _count_sharded_ext_jit(
+                codes_j,
+                valid_j,
+                jnp.asarray(sr.reshape(-1)),
+                jnp.asarray(sp.reshape(-1)),
+                cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
+            )
+            if int(jax.device_get(overflow)) == 0:
+                break
+            capacity *= 2
+        else:
+            raise RuntimeError(
+                "exchange capacity overflow after 4 attempts"
+            )
 
     keep_np = np.asarray(keep)
     cnt_np = np.asarray(cnt)

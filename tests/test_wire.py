@@ -55,7 +55,7 @@ def test_wire_density():
     cfg = KmerConfig(k=31, m=17, pad_multiple=1024)
     from hysortk_tpu.parallel.pipeline import distribute_reads_packed
 
-    packed, lens2d, block = distribute_reads_packed(codes, lengths, cfg, 4)
+    packed, lens2d, block, _ = distribute_reads_packed(codes, lengths, cfg, 4)
     wire_bytes = packed.nbytes + lens2d.nbytes
     raw = codes.size  # int8 shipping
     # padding to pad_multiple dominates small inputs; bound generously
@@ -79,7 +79,7 @@ def test_packed_sharded_equals_unpacked():
     mesh = make_mesh(jax.devices())
     S = 8
 
-    packed, lens2d, block = sp.distribute_reads_packed(codes, lengths, cfg, S)
+    packed, lens2d, block, _ = sp.distribute_reads_packed(codes, lengths, cfg, S)
     _, maxslot = sp._measure_range_packed_jit(
         jnp.asarray(packed), jnp.asarray(lens2d.reshape(-1)),
         cfg=cfg, num_shards=S, block_len=block, mesh=mesh,

@@ -42,7 +42,7 @@ cfg = KmerConfig(k=31, m=17, lower=2, upper=50, pad_multiple=128)
 # format (~bases/4 payload + 4 B/read lengths), not int8 codes.
 from hysortk_tpu.parallel.pipeline import distribute_reads_packed
 codes_w, lengths_w = multihost.read_my_shard(f"{tmp}/mp.fa", cfg)
-packed_w, lens_w, _ = distribute_reads_packed(codes_w, lengths_w, cfg, 2)
+packed_w, lens_w, _, _ = distribute_reads_packed(codes_w, lengths_w, cfg, 2)
 wire_bytes = packed_w.nbytes + lens_w.nbytes
 budget = codes_w.size / 4 + lens_w.nbytes + 2 * cfg.pad_multiple
 assert wire_bytes <= budget, (wire_bytes, budget)
