@@ -149,6 +149,15 @@ def main(argv=None) -> int:
 
                 kmerlist, hist = count_reads_ext(codes, lengths, cfg)
         elif args.stream_batch_bases:
+            if jax.process_count() > 1:
+                # Streaming composes with single-process meshes only; a
+                # multi-process run would feed host-local arrays into a
+                # global mesh. Fail loudly instead of misbehaving.
+                raise SystemExit(
+                    "--stream-batch-bases is unavailable in multi-process "
+                    "runs (the multihost path bounds memory via per-host "
+                    "read sharding)"
+                )
             if len(devices) > 1 and not args.single_device:
                 from .parallel.pipeline import count_reads_sharded_streaming
 

@@ -33,6 +33,23 @@ def _lex_less(a_words, b_words):
     return less
 
 
+def flip_odd_runs(arrays, s: int, run_len: int):
+    """Reverse every odd run so consecutive run pairs form bitonic
+    sequences — the orientation required to enter the bitonic network at
+    region size 2*run_len. THE single definition shared by the XLA network
+    below and the Pallas merge-level entry (pallas_sort.merge_runs): the
+    two backends must agree on run orientation or a merge silently
+    produces unsorted output on exactly one of them.
+    """
+    odd = (jnp.arange(s, dtype=jnp.int32) & 1).astype(jnp.bool_)
+
+    def flip(a):
+        a2 = a.astype(jnp.uint32).reshape(s, run_len)
+        return jnp.where(odd[:, None], a2[:, ::-1], a2).reshape(-1)
+
+    return [flip(a) for a in arrays]
+
+
 def merge_sorted_runs(
     arrays: Sequence[jnp.ndarray], n_words: int, run_len: int
 ) -> list[jnp.ndarray]:
@@ -85,14 +102,7 @@ def _merge_network_xla(
     n = arrays[0].shape[0]
     s = n // run_len
 
-    # Reverse odd runs so consecutive run pairs form bitonic sequences —
-    # the orientation the level-2L entry point of the network expects.
-    def flip_odd(a):
-        a2 = a.reshape(s, run_len)
-        odd = (jnp.arange(s, dtype=jnp.int32) & 1).astype(jnp.bool_)
-        return jnp.where(odd[:, None], a2[:, ::-1], a2).reshape(-1)
-
-    arrays = [flip_odd(a) for a in arrays]
+    arrays = flip_odd_runs(arrays, s, run_len)
 
     k = 2 * run_len
     while k <= n:

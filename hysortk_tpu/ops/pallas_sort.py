@@ -446,12 +446,9 @@ def merge_runs(
     if s == 1:
         return [a.astype(jnp.uint32) for a in arrays]
 
-    def flip_odd(a):
-        a2 = a.astype(jnp.uint32).reshape(s, run_len)
-        odd = (jnp.arange(s, dtype=jnp.int32) & 1).astype(jnp.bool_)
-        return jnp.where(odd[:, None], a2[:, ::-1], a2).reshape(-1)
+    from .merge import flip_odd_runs  # single orientation definition
 
-    arrays = [flip_odd(a) for a in arrays]
+    arrays = flip_odd_runs(arrays, s, run_len)
 
     # VMEM budget for the cross kernel (see sort_words).
     budget = 7 * 1024 * 1024

@@ -81,11 +81,12 @@ def rid_pos_from_lengths(
     ends = jnp.cumsum(lengths)
     starts = ends - lengths
     start_marks = jnp.zeros(n + 1, jnp.int32)
-    # Zero-length pad reads all scatter +1 onto the same (tail) index; the
-    # valid mask already excludes everything at/after the real total.
-    start_marks = start_marks.at[jnp.minimum(starts, n)].add(
-        jnp.where(lengths > 0, 1, 0)
-    )
+    # EVERY read marks its start — including zero-length records, whose
+    # marks stack on the next read's start so read ids keep counting ALL
+    # records (matching the host flattener and the reference's global read
+    # numbering). Tail-padding pseudo-reads mark at/after the real total,
+    # where the valid mask is already False.
+    start_marks = start_marks.at[jnp.minimum(starts, n)].add(1)
     rid = jnp.cumsum(start_marks[:-1]) - 1 + jnp.int32(rid_base)
     is_start = start_marks[:-1] > 0
     idx = jnp.arange(n, dtype=jnp.int32)

@@ -63,6 +63,46 @@ def read_my_shard(
     return fasta_io.read_records(fasta_path, mine)
 
 
+def _local_shards(arr) -> np.ndarray:
+    """Concatenate this process's addressable shards of a global array."""
+    return np.concatenate(
+        [np.asarray(s.data) for s in arr.addressable_shards]
+    )
+
+
+def _global_histogram(counts: np.ndarray, upper: int) -> np.ndarray:
+    """Per-host histogram summed across processes (the reference's
+    MPI_Allreduce SUM, src/hysortk.cpp:115)."""
+    from ..pipeline import host_histogram
+
+    hist = host_histogram(counts, upper)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        hist = np.asarray(
+            multihost_utils.process_allgather(hist).sum(axis=0),
+            dtype=np.int32,
+        )
+    return hist
+
+
+def _gather_kmerlist(keys, cnt, keep, cfg: KmerConfig, unmix: bool) -> KmerList:
+    """Assemble this host's KmerList from sharded device outputs."""
+    keep_local = _local_shards(keep)
+    keys_local = np.stack(
+        [_local_shards(w)[keep_local] for w in keys], axis=-1
+    )
+    if unmix:
+        from ..ops import mixkey
+
+        keys_local = mixkey.unmix_keys_np(keys_local)
+    return KmerList(
+        keys=keys_local,
+        counts=_local_shards(cnt)[keep_local],
+        k=cfg.k,
+    )
+
+
 def count_fasta_multihost(
     fasta_path: str, cfg: KmerConfig
 ) -> tuple[KmerList, np.ndarray]:
@@ -101,7 +141,6 @@ def _count_multihost_packed(
     backend of count_reads_sharded (make_array_from_process_local_data
     degenerates to a sharded device_put).
     """
-    from ..ops import mixkey
     from . import dispatch
 
     mesh = mesh if mesh is not None else Mesh(
@@ -163,44 +202,16 @@ def _count_multihost_packed(
             max(int(block / num_shards * cfg.capacity_factor), 64)
         )
 
-    attempts = 1 if measured else 4
-    for _attempt in range(attempts):
-        keys, cnt, keep, overflow = shard_pipeline._count_sharded_packed_jit(
+    (keys, cnt, keep), _ = shard_pipeline.run_with_capacity_retry(
+        lambda cap: shard_pipeline._count_sharded_packed_jit(
             packed_g, lens_g,
-            cfg=cfg, num_shards=num_shards, capacity=capacity,
+            cfg=cfg, num_shards=num_shards, capacity=cap,
             block_len=block, mesh=mesh,
-        )
-        if int(np.asarray(overflow)) == 0:
-            break
-        capacity *= 2
-    else:
-        raise RuntimeError(
-            f"exchange capacity overflow after {attempts} attempts"
-        )
-
-    def local(arr):
-        return np.concatenate(
-            [np.asarray(s.data) for s in arr.addressable_shards]
-        )
-
-    keep_local = local(keep)
-    keys_local = np.stack([local(w)[keep_local] for w in keys], axis=-1)
-    keys_local = mixkey.unmix_keys_np(keys_local)
-    cnt_local = local(cnt)
-    kmerlist = KmerList(
-        keys=keys_local, counts=cnt_local[keep_local], k=cfg.k
+        ),
+        capacity, measured,
     )
-    from ..pipeline import host_histogram
-
-    hist = host_histogram(kmerlist.counts, cfg.upper)
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        hist = np.asarray(
-            multihost_utils.process_allgather(hist).sum(axis=0),
-            dtype=np.int32,
-        )
-    return kmerlist, hist
+    kmerlist = _gather_kmerlist(keys, cnt, keep, cfg, unmix=True)
+    return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)
 
 
 def _count_multihost_unpacked(
@@ -247,49 +258,17 @@ def _count_multihost_unpacked(
         codes_g, valid_g, cfg, num_shards, mesh, block
     )
 
-    attempts = 1 if measured else 4
-    for _attempt in range(attempts):
-        keys, cnt, keep, overflow = shard_pipeline._count_sharded_jit(
+    (keys, cnt, keep), _ = shard_pipeline.run_with_capacity_retry(
+        lambda cap: shard_pipeline._count_sharded_jit(
             codes_g, valid_g, assign,
-            cfg=cfg2, num_shards=num_shards, capacity=capacity, mesh=mesh,
-        )
-        if int(np.asarray(overflow)) == 0:
-            break
-        capacity *= 2
-    else:
-        raise RuntimeError(
-            f"exchange capacity overflow after {attempts} attempts"
-        )
-
-    # Each host keeps its addressable shards' results.
-    def local(arr):
-        return np.concatenate(
-            [np.asarray(s.data) for s in arr.addressable_shards]
-        )
-
-    keep_local = local(keep)
-    keys_local = np.stack([local(w)[keep_local] for w in keys], axis=-1)
-    if cfg2.routing == "range":
-        from ..ops import mixkey
-
-        keys_local = mixkey.unmix_keys_np(keys_local)
-    cnt_local = local(cnt)
-    kmerlist = KmerList(
-        keys=keys_local, counts=cnt_local[keep_local], k=cfg.k
+            cfg=cfg2, num_shards=num_shards, capacity=cap, mesh=mesh,
+        ),
+        capacity, measured,
     )
-    # Global histogram = sum of per-host local histograms (the reference's
-    # MPI_Allreduce SUM, src/hysortk.cpp:115).
-    from ..pipeline import host_histogram
-
-    hist = host_histogram(kmerlist.counts, cfg.upper)
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        hist = np.asarray(
-            multihost_utils.process_allgather(hist).sum(axis=0),
-            dtype=np.int32,
-        )
-    return kmerlist, hist
+    kmerlist = _gather_kmerlist(
+        keys, cnt, keep, cfg, unmix=cfg2.routing == "range"
+    )
+    return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)
 
 
 def count_fasta_multihost_ext(
@@ -304,7 +283,7 @@ def count_fasta_multihost_ext(
     of read counts, src/kmerops.cpp:66).
     """
     from ..io import fasta as fasta_io
-    from ..pipeline import KmerListExt, host_histogram
+    from ..pipeline import KmerListExt
     from jax.sharding import NamedSharding
 
     mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
@@ -358,34 +337,25 @@ def count_fasta_multihost_ext(
     else:
         capacity = max(int(block / num_shards * cfg.capacity_factor), 64)
 
-    attempts = 1 if measured else 4
-    for _attempt in range(attempts):
-        keys, cnt, keep, srid, spos, overflow = (
-            shard_pipeline._count_sharded_ext_jit(
-                codes_g, valid_g, rid_g, pos_g,
-                cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
-            )
-        )
-        if int(np.asarray(overflow)) == 0:
-            break
-        capacity *= 2
-    else:
-        raise RuntimeError(
-            f"exchange capacity overflow after {attempts} attempts"
-        )
+    (keys, cnt, keep, srid, spos), _ = shard_pipeline.run_with_capacity_retry(
+        lambda cap: shard_pipeline._count_sharded_ext_jit(
+            codes_g, valid_g, rid_g, pos_g,
+            cfg=cfg, num_shards=num_shards, capacity=cap, mesh=mesh,
+        ),
+        capacity, measured,
+    )
 
-    def local(arr):
-        return np.concatenate(
-            [np.asarray(s.data) for s in arr.addressable_shards]
-        )
-
-    keep_local = local(keep)
-    cnt_local = local(cnt)
-    srid_np = local(srid).astype(np.int32)
-    spos_np = local(spos).astype(np.uint32)
+    keep_local = _local_shards(keep)
+    cnt_local = _local_shards(cnt)
+    srid_np = _local_shards(srid).astype(np.int32)
+    spos_np = _local_shards(spos).astype(np.uint32)
+    # Occurrence runs never span shard segments (keys are shard-owned), so
+    # slicing the concatenated local arrays by [start, start+count) is safe.
     starts = np.flatnonzero(keep_local)
     counts = cnt_local[starts]
-    keys_local = np.stack([local(w)[keep_local] for w in keys], axis=-1)
+    keys_local = np.stack(
+        [_local_shards(w)[keep_local] for w in keys], axis=-1
+    )
     if cfg.routing == "range":
         from ..ops import mixkey
 
@@ -397,12 +367,4 @@ def count_fasta_multihost_ext(
         pos=[spos_np[s : s + c] for s, c in zip(starts, counts)],
         rid=[srid_np[s : s + c] for s, c in zip(starts, counts)],
     )
-    hist = host_histogram(kmerlist.counts, cfg.upper)
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        hist = np.asarray(
-            multihost_utils.process_allgather(hist).sum(axis=0),
-            dtype=np.int32,
-        )
-    return kmerlist, hist
+    return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)

@@ -60,6 +60,24 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def run_with_capacity_retry(run, capacity: int, measured: bool):
+    """Execute `run(capacity)` with the capacity-overflow protocol.
+
+    `run` returns a tuple whose LAST element is the pmax'd overflow flag.
+    Measured capacity is exact — one attempt; otherwise double up to 4x
+    (pathological-skew fallback). Returns (outputs_without_flag, capacity).
+    """
+    attempts = 1 if measured else 4
+    for _attempt in range(attempts):
+        out = run(capacity)
+        if int(jax.device_get(out[-1])) == 0:
+            return out[:-1], capacity
+        capacity *= 2
+    raise RuntimeError(
+        f"exchange capacity overflow after {attempts} attempts"
+    )
+
+
 def _build_marked_mixed(codes, valid, cfg: KmerConfig):
     """codes/valid -> sentinel-marked, invertibly-mixed key words."""
     if cfg.fuse_keybuild:
@@ -585,19 +603,13 @@ def count_flat_sharded(
         codes_j, valid_j, cfg, num_shards, mesh, n_local
     )
 
-    attempts = 1 if measured else 4
-    for _attempt in range(attempts):
-        keys, cnt, keep, overflow = _count_sharded_jit(
+    (keys, cnt, keep), _ = run_with_capacity_retry(
+        lambda cap: _count_sharded_jit(
             codes_j, valid_j, assign,
-            cfg=cfg2, num_shards=num_shards, capacity=capacity, mesh=mesh,
-        )
-        if int(jax.device_get(overflow)) == 0:
-            break
-        capacity *= 2
-    else:
-        raise RuntimeError(
-            f"exchange capacity overflow after {attempts} attempts"
-        )
+            cfg=cfg2, num_shards=num_shards, capacity=cap, mesh=mesh,
+        ),
+        capacity, measured,
+    )
 
     from ..pipeline import compact_keys, host_histogram
 
@@ -1021,22 +1033,14 @@ def count_reads_sharded_ext(
                 max(int(n_local / num_shards * cfg.capacity_factor), 64)
             )
 
-        attempts = 1 if measured else 4
-        for _attempt in range(attempts):
-            keys, cnt, keep, srid, spos, overflow = (
-                _count_sharded_ext_packed_jit(
-                    packed_j, lens_j, rid_j,
-                    cfg=cfg, num_shards=num_shards, capacity=capacity,
-                    block_len=block_len, mesh=mesh,
-                )
-            )
-            if int(jax.device_get(overflow)) == 0:
-                break
-            capacity *= 2
-        else:
-            raise RuntimeError(
-                f"exchange capacity overflow after {attempts} attempts"
-            )
+        (keys, cnt, keep, srid, spos), _ = run_with_capacity_retry(
+            lambda cap: _count_sharded_ext_packed_jit(
+                packed_j, lens_j, rid_j,
+                cfg=cfg, num_shards=num_shards, capacity=cap,
+                block_len=block_len, mesh=mesh,
+            ),
+            capacity, measured,
+        )
     else:
         sc, sv, sr, sp, block_len = build_ext_blocks(
             codes, lengths, cfg, num_shards, read_id_offset
@@ -1045,21 +1049,16 @@ def count_reads_sharded_ext(
         codes_j = jnp.asarray(sc.reshape(-1))
         valid_j = jnp.asarray(sv.reshape(-1))
         capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
-        for _attempt in range(4):
-            keys, cnt, keep, srid, spos, overflow = _count_sharded_ext_jit(
+        (keys, cnt, keep, srid, spos), _ = run_with_capacity_retry(
+            lambda cap: _count_sharded_ext_jit(
                 codes_j,
                 valid_j,
                 jnp.asarray(sr.reshape(-1)),
                 jnp.asarray(sp.reshape(-1)),
-                cfg=cfg, num_shards=num_shards, capacity=capacity, mesh=mesh,
-            )
-            if int(jax.device_get(overflow)) == 0:
-                break
-            capacity *= 2
-        else:
-            raise RuntimeError(
-                "exchange capacity overflow after 4 attempts"
-            )
+                cfg=cfg, num_shards=num_shards, capacity=cap, mesh=mesh,
+            ),
+            capacity, False,
+        )
 
     keep_np = np.asarray(keep)
     cnt_np = np.asarray(cnt)

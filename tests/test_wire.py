@@ -107,3 +107,22 @@ def test_packed_sharded_equals_unpacked():
         ).items()
     }
     assert got == want
+
+
+def test_rid_pos_from_lengths_with_empty_reads():
+    """Zero-length records must still advance the read id (matching the
+    host flattener's global record numbering)."""
+    k = 3
+    lengths = np.array([5, 0, 6, 0, 0, 4], dtype=np.int64)
+    codes = np.zeros(int(lengths.sum()), np.int8)
+    flat, valid, rid, pos = fasta_io.flatten_for_device_ext(
+        codes, lengths, k, 64, 7
+    )
+    lens_p = np.concatenate([lengths, np.zeros(3, np.int64)]).astype(np.int32)
+    grid, gpos = wire.rid_pos_from_lengths(
+        __import__("jax.numpy", fromlist=["asarray"]).asarray(lens_p),
+        flat.shape[0], 7,
+    )
+    grid, gpos = np.asarray(grid), np.asarray(gpos)
+    assert np.array_equal(grid[valid], rid[valid])
+    assert np.array_equal(gpos[valid], pos[valid])
