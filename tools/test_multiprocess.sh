@@ -53,6 +53,18 @@ kmerlist, hist = multihost.count_fasta_multihost(f"{tmp}/mp.fa", cfg)
 from hysortk_tpu.io import writer
 writer.write_output_file(kmerlist, f"{tmp}/out", shard=pid)
 
+# EXTENSION mode across 2 real processes: counts + (rid, pos) payloads.
+cfg_ext = KmerConfig(k=31, m=17, lower=2, upper=50, extension=True,
+                     pad_multiple=128)
+kl_ext, hist_ext = multihost.count_fasta_multihost_ext(f"{tmp}/mp.fa", cfg_ext)
+import json
+ext_payload = {
+    km.decode(): sorted((int(r), int(p)) for r, p in zip(rr.tolist(), pp.tolist()))
+    for km, rr, pp in zip(kl_ext.decoded(), kl_ext.rid, kl_ext.pos)
+}
+with open(f"{tmp}/out/ext_{pid}.json", "w") as f:
+    json.dump(ext_payload, f)
+
 from jax.experimental import multihost_utils
 multihost_utils.sync_global_devices("done-writing")
 
@@ -70,7 +82,22 @@ if pid == 0:
     assert got == want, f"mismatch: {len(got)} vs {len(want)}"
     hist_d = {c: int(n) for c, n in enumerate(hist) if n > 0}
     assert hist_d == oracle.oracle_histogram(oracle.oracle_filtered(reads, 31, 2, 50))
-    print(f"MULTIPROCESS OK: {len(got)} kmers, 2 processes x 2 devices", flush=True)
+
+    # EXT payload union across the two processes vs the occurrence oracle.
+    ext_union = {}
+    for p in (0, 1):
+        with open(f"{tmp}/out/ext_{p}.json") as f:
+            part = json.load(f)
+        assert not (set(part) & set(ext_union)), "kmer owned by both shards"
+        ext_union.update(part)
+    occ = oracle.oracle_occurrences(reads, 31)
+    expected_ext = {
+        km: sorted(occ[km])
+        for km in oracle.oracle_filtered(reads, 31, 2, 50)
+    }
+    got_ext = {km: [tuple(x) for x in v] for km, v in ext_union.items()}
+    assert got_ext == expected_ext, (len(got_ext), len(expected_ext))
+    print(f"MULTIPROCESS OK: {len(got)} kmers (+EXT payloads), 2 processes x 2 devices", flush=True)
 EOF
 }
 
