@@ -80,7 +80,9 @@ def main():
     # block_until_ready alone has proven unreliable on experimental backends.
     jax.device_get(run()[1][:8])
 
-    PIPE_DEPTH = 4  # batches in flight per sync (async dispatch)
+    PIPE_DEPTH = 8  # batches in flight per sync (async dispatch; ~7 GB
+    # of outputs alive at once, well within 16 GB HBM — measured 328M/s
+    # vs 318M at depth 4)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
