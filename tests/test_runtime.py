@@ -90,3 +90,18 @@ def test_wanghash64_roundtrip():
         x = int(rng.integers(0, 1 << 63))
         assert hashes.wanghash64_inv(hashes.wanghash64(x)) == x
     assert hashes.wanghash64(0) != 0
+
+
+def test_snap_batch_to_pow2_flat():
+    """Streaming batches sit exactly on pow2 flattened sizes (lax.sort pads
+    to the next pow2 internally; crossing the boundary costs ~26%)."""
+    from hysortk_tpu.runtime.scheduler import snap_batch_to_pow2_flat
+
+    for batch, pad in ((1 << 26, 8192), (1 << 26, 1024), ((1 << 26) + 5, 1024),
+                       (100000, 1024), (1 << 20, 256)):
+        b = snap_batch_to_pow2_flat(batch, pad)
+        assert b <= batch
+        flat = -(-(b + 16) // pad) * pad
+        assert flat & (flat - 1) == 0, (batch, pad, b, flat)
+    # non-pow2 pad granularity: no snap, no crash
+    assert snap_batch_to_pow2_flat(70000, 3000) == 70000
