@@ -91,6 +91,16 @@ def main():
         jax.device_get(outs[-1][1][:8])
         best = min(best, (time.perf_counter() - t0) / PIPE_DEPTH)
 
+    # Per-call latency (one batch, one sync): includes the host<->device
+    # round trip this backend pays per sync (~50 ms tunnel RTT), which the
+    # sustained number amortizes across PIPE_DEPTH batches. Reported so the
+    # headline ratio carries its methodology (sustained vs wall).
+    single = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(run()[1][:8])
+        single = min(single, time.perf_counter() - t0)
+
     value = n_kmers / best
 
     baseline_path = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
@@ -108,6 +118,9 @@ def main():
                 "value": round(value),
                 "unit": "kmers/s",
                 "vs_baseline": round(vs_baseline, 3),
+                "methodology": "sustained: PIPE_DEPTH async batches/sync",
+                "single_call_s": round(single, 4),
+                "single_call_kmers_per_sec": round(n_kmers / single),
             }
         )
     )

@@ -32,8 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="upper frequency bound (default 40)")
     p.add_argument("--combiner", action="store_true",
                    help="pre-aggregate local duplicates before the exchange")
-    p.add_argument("--sort", choices=("xla", "pallas"), default="xla",
-                   help="device sort backend")
+    p.add_argument("--sort", choices=("xla", "pallas", "auto"), default="xla",
+                   help="device sort backend (auto: pick from HBM headroom, "
+                        "like the reference's runtime sort_decision)")
     p.add_argument("--routing", choices=("range", "kmer_hash", "minimizer"),
                    default="range",
                    help="multi-device destination rule: range = sort-once "

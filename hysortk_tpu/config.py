@@ -86,7 +86,9 @@ class KmerConfig:
     # reference's DISPATCH_UPPER_COE sweep (reference: Makefile:28-33).
     capacity_factor: float = 1.6
 
-    # Sort backend: "xla" (lax.sort) or "pallas" (on-chip bitonic sort).
+    # Sort backend: "xla" (lax.sort), "pallas" (on-chip bitonic sort), or
+    # "auto" (choose from HBM headroom at call time, the analogue of the
+    # reference's runtime sort_decision, src/kmerops.cpp:1344-1379).
     sort_backend: str = "xla"
 
     # Build canonical keys in one fused Pallas kernel (ops/keybuild.py)
@@ -119,7 +121,7 @@ class KmerConfig:
             raise ValueError(
                 f"need lower <= upper <= 65535, got [{self.lower}, {self.upper}]"
             )
-        if self.sort_backend not in ("xla", "pallas"):
+        if self.sort_backend not in ("xla", "pallas", "auto"):
             raise ValueError(f"unknown sort backend {self.sort_backend!r}")
         if self.routing not in ("range", "kmer_hash", "minimizer"):
             raise ValueError(f"unknown routing {self.routing!r}")

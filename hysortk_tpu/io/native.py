@@ -50,21 +50,29 @@ def _load() -> Optional[ctypes.CDLL]:
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
-        lib.hk_pack_codes.argtypes = [u8p, ctypes.c_int64, u8p]
-        lib.hk_strip_and_pack.argtypes = [
-            u8p, i64p, i64p, i64p, i64p, i64p, ctypes.c_int64, u8p,
-        ]
-        lib.hk_decode_keys.argtypes = [
-            u32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_char_p,
-        ]
-        lib.hk_build_valid.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, u8p]
-        lib.hk_pack_2bit.argtypes = [u8p, ctypes.c_int64, u32p]
-        lib.hk_format_output.argtypes = [
-            u32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_char_p,
-        ]
-        lib.hk_format_output.restype = ctypes.c_int64
+        try:
+            lib.hk_pack_codes.argtypes = [u8p, ctypes.c_int64, u8p]
+            lib.hk_strip_and_pack.argtypes = [
+                u8p, i64p, i64p, i64p, i64p, i64p, ctypes.c_int64, u8p,
+            ]
+            lib.hk_decode_keys.argtypes = [
+                u32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_char_p,
+            ]
+            lib.hk_build_valid.argtypes = [
+                i64p, ctypes.c_int64, ctypes.c_int64, u8p
+            ]
+            lib.hk_pack_2bit.argtypes = [u8p, ctypes.c_int64, u32p]
+            lib.hk_format_output.argtypes = [
+                u32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_char_p,
+            ]
+            lib.hk_format_output.restype = ctypes.c_int64
+        except AttributeError:
+            # Stale prebuilt .so missing a symbol: degrade to the numpy
+            # fallbacks (the module contract) instead of raising out of
+            # every native entry point.
+            return None
         _lib = lib
         return _lib
 

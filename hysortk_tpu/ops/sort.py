@@ -59,6 +59,21 @@ def sort_keys(
     return sort_marked(marked, payloads, backend)
 
 
+def resolve_backend(
+    backend: str, n_items: int, n_operands: int, device=None
+) -> str:
+    """Resolve the "auto" backend to a concrete one at call time.
+
+    Host-side (reads /proc + HBM stats via memcheck), so it runs OUTSIDE
+    jit; every host entry point resolves before tracing. The analogue of
+    the reference's sort_decision call inside filter_kmer
+    (src/kmerops.cpp:198-246, decision at :1344-1379).
+    """
+    if backend != "auto":
+        return backend
+    return sort_decision(n_items, n_operands, device)
+
+
 def sort_decision(n_items: int, n_operands: int, device=None) -> str:
     """Pick the sort backend from problem size + HBM headroom.
 

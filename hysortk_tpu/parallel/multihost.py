@@ -142,6 +142,7 @@ def _count_multihost_packed(
     degenerates to a sharded device_put).
     """
     from . import dispatch
+    from ..pipeline import resolved_cfg
 
     mesh = mesh if mesh is not None else Mesh(
         np.asarray(jax.devices()), (SHARD_AXIS,)
@@ -151,6 +152,7 @@ def _count_multihost_packed(
         1 for d in mesh.devices.flat if d.process_index == pidx
     )
     num_shards = mesh.devices.size
+    cfg = resolved_cfg(cfg, codes.size // max(n_local_dev, 1))
 
     packed2d, lens2d, block, _ = shard_pipeline.distribute_reads_packed(
         codes, lengths, cfg, n_local_dev
@@ -220,6 +222,9 @@ def _count_multihost_unpacked(
     mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
     n_local_dev = jax.local_device_count()
     num_shards = mesh.devices.size
+    from ..pipeline import resolved_cfg
+
+    cfg = resolved_cfg(cfg, codes.size // max(n_local_dev, 1))
     # Distribute this host's reads over its local devices.
     local_codes, local_valid = shard_pipeline.distribute_reads(
         codes, lengths, cfg, n_local_dev
@@ -283,7 +288,7 @@ def count_fasta_multihost_ext(
     of read counts, src/kmerops.cpp:66).
     """
     from ..io import fasta as fasta_io
-    from ..pipeline import KmerListExt
+    from ..pipeline import KmerListExt, resolved_cfg
     from jax.sharding import NamedSharding
 
     mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
@@ -298,6 +303,9 @@ def count_fasta_multihost_ext(
     rid_offset = my_part[0] if my_part else 0
     codes, lengths = fasta_io.read_records(fasta_path, mine)
 
+    cfg = resolved_cfg(
+        cfg, codes.size // max(n_local_dev, 1), extra_operands=2
+    )
     sc, sv, sr, sp, block = shard_pipeline.build_ext_blocks(
         codes, lengths, cfg, n_local_dev, rid_offset
     )
@@ -360,11 +368,14 @@ def count_fasta_multihost_ext(
         from ..ops import mixkey
 
         keys_local = mixkey.unmix_keys_np(keys_local)
+    from ..pipeline import split_occurrences
+
+    pos_runs, rid_runs = split_occurrences(starts, counts, spos_np, srid_np)
     kmerlist = KmerListExt(
         keys=keys_local,
         counts=counts,
         k=cfg.k,
-        pos=[spos_np[s : s + c] for s, c in zip(starts, counts)],
-        rid=[srid_np[s : s + c] for s, c in zip(starts, counts)],
+        pos=pos_runs,
+        rid=rid_runs,
     )
     return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)

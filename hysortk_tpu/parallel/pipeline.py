@@ -596,6 +596,9 @@ def count_flat_sharded(
     assert n % num_shards == 0, (n, num_shards)
     n_local = n // num_shards
 
+    from ..pipeline import resolved_cfg
+
+    cfg = resolved_cfg(cfg, n_local)
     codes_j = jnp.asarray(codes, dtype=jnp.int8)
     valid_j = jnp.asarray(valid)
 
@@ -765,6 +768,9 @@ def count_reads_sharded_streaming(
 
     mesh = mesh or make_mesh()
     num_shards = mesh.devices.size
+    from ..pipeline import resolved_cfg
+
+    cfg = resolved_cfg(cfg, batch_bases // max(num_shards, 1))
     cfg_pre_base = dataclasses.replace(cfg, unfiltered=True)
 
     partial_k: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
@@ -1005,10 +1011,13 @@ def count_reads_sharded_ext(
     the (rid, pos) payloads are derived on device from the read lengths —
     ~9x less wire than shipping (int8, bool, int32, uint32) per base.
     """
-    from ..pipeline import KmerListExt, host_histogram
+    from ..pipeline import KmerListExt, host_histogram, resolved_cfg
 
     mesh = mesh or make_mesh()
     num_shards = mesh.devices.size
+    cfg = resolved_cfg(
+        cfg, codes.shape[0] // max(num_shards, 1), extra_operands=2
+    )
 
     if cfg.routing == "range":
         packed, lens2d, block_len, rid_base = distribute_reads_packed(
@@ -1066,16 +1075,17 @@ def count_reads_sharded_ext(
     spos_np = np.asarray(spos).astype(np.uint32)
     starts = np.flatnonzero(keep_np)
     counts = cnt_np[starts]
-    from ..pipeline import compact_keys
+    from ..pipeline import compact_keys, split_occurrences
 
     compact = compact_keys(keys, keep_np)
     if cfg.routing == "range":
         compact = mixkey.unmix_keys_np(compact)
+    pos_runs, rid_runs = split_occurrences(starts, counts, spos_np, srid_np)
     result = KmerListExt(
         keys=compact,
         counts=counts,
         k=cfg.k,
-        pos=[spos_np[s : s + c] for s, c in zip(starts, counts)],
-        rid=[srid_np[s : s + c] for s, c in zip(starts, counts)],
+        pos=pos_runs,
+        rid=rid_runs,
     )
     return result, host_histogram(result.counts, cfg.upper)

@@ -56,8 +56,10 @@ def snap_batch_to_pow2_flat(batch_bases: int, pad_multiple: int) -> int:
     244.9 vs 309.4 ms at 2^26 vs 2^26+8192 on v5e). Streaming batches are
     shape-free to choose, so always sit on the boundary.
     """
-    naive = -(-(int(batch_bases) + 16) // pad_multiple) * pad_multiple
-    flat = 1 << (max(naive, 2).bit_length() - 1)  # pow2 <= naive
+    # Pick the pow2 from batch_bases+16 itself, NOT from the padded size:
+    # a pow2 inside (batch+16, padded] would yield flat-16 > batch_bases,
+    # overshooting the (memory-derived) budget the caller handed in.
+    flat = 1 << (max(int(batch_bases) + 16, 2).bit_length() - 1)
     if flat % pad_multiple or flat <= 16:
         return int(batch_bases)  # non-pow2 pad granularity: no snap
     return flat - 16
@@ -99,8 +101,10 @@ def count_reads_streaming(
     from ..io import fasta as fasta_io
     from ..ops import count as count_ops
     from ..ops import sort as sort_ops
+    from ..pipeline import resolved_cfg
     import functools
 
+    cfg = resolved_cfg(cfg, batch_bases)
     partial_keys: list[np.ndarray] = []
     partial_cnts: list[np.ndarray] = []
 

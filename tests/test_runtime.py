@@ -70,6 +70,32 @@ def test_sort_decision_returns_valid_backend():
     assert sort_decision(1 << 20, 2) in ("xla", "pallas")
 
 
+def test_auto_backend_flips_on_headroom(monkeypatch):
+    """cfg.sort_backend == "auto" resolves via sort_decision: tight fake
+    HBM headroom must flip the choice to the in-place-capable Pallas path
+    (the reference's RADULS-vs-PARADIS rule, src/kmerops.cpp:1344-1379)."""
+    from hysortk_tpu.ops import sort as sort_ops
+    from hysortk_tpu.pipeline import resolved_cfg
+    from hysortk_tpu.config import KmerConfig
+    from hysortk_tpu.runtime import memcheck
+
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=50, sort_backend="auto")
+    monkeypatch.setattr(memcheck, "hbm_headroom_bytes", lambda d=None: 1 << 40)
+    assert resolved_cfg(cfg, 1 << 20).sort_backend == "xla"
+    monkeypatch.setattr(memcheck, "hbm_headroom_bytes", lambda d=None: 1 << 20)
+    assert resolved_cfg(cfg, 1 << 20).sort_backend == "pallas"
+    # Non-auto configs pass through untouched.
+    cfg_x = KmerConfig(k=31, m=17, lower=1, upper=50, sort_backend="xla")
+    assert resolved_cfg(cfg_x, 1 << 20) is cfg_x
+    # End-to-end: auto never reaches the jitted pipeline unresolved.
+    import hysortk_tpu as H
+
+    codes = np.asarray([0, 1, 2, 3] * 40, np.int8)
+    lengths = np.asarray([160], np.int64)
+    kl, _ = H.kmer_count(codes, lengths, cfg)
+    assert len(kl) >= 0
+
+
 def test_murmurhash3_64_known_vectors():
     # Self-consistency + avalanche sanity (no external vectors needed:
     # equality with the reference oracle is covered end-to-end elsewhere).
@@ -98,7 +124,7 @@ def test_snap_batch_to_pow2_flat():
     from hysortk_tpu.runtime.scheduler import snap_batch_to_pow2_flat
 
     for batch, pad in ((1 << 26, 8192), (1 << 26, 1024), ((1 << 26) + 5, 1024),
-                       (100000, 1024), (1 << 20, 256)):
+                       (100000, 1024), (1 << 20, 256), (65000, 1024)):
         b = snap_batch_to_pow2_flat(batch, pad)
         assert b <= batch
         flat = -(-(b + 16) // pad) * pad
