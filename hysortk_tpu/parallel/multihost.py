@@ -188,30 +188,30 @@ def _count_multihost_packed(
         (num_shards * lmax,),
     )
 
-    measured = False
-    if cfg.classifier == "heavy_hitter":
-        totals, maxslot = shard_pipeline._measure_range_packed_jit(
-            packed_g, lens_g,
-            cfg=cfg, num_shards=num_shards, block_len=block, mesh=mesh,
-        )
-        types = dispatch.classify(np.asarray(totals), cfg.heavy_ratio)
-        if bool((types == dispatch.HEAVY).any()):
-            return None
-        capacity = shard_pipeline._next_pow2(max(int(maxslot), 64))
-        measured = True
-    else:
-        capacity = shard_pipeline._next_pow2(
-            max(int(block / num_shards * cfg.capacity_factor), 64)
-        )
-
-    (keys, cnt, keep), _ = shard_pipeline.run_with_capacity_retry(
-        lambda cap: shard_pipeline._count_sharded_packed_jit(
-            packed_g, lens_g,
-            cfg=cfg, num_shards=num_shards, capacity=cap,
-            block_len=block, mesh=mesh,
-        ),
-        capacity, measured,
+    # Heavy-hitter detection reads the per-destination totals the main
+    # pass returns for free (parallel/pipeline._range_exchange_merge) — no
+    # measurement sweep; a skewed input costs one wasted pass (the caller
+    # re-runs through the combiner), a balanced one costs zero.
+    capacity = shard_pipeline._next_pow2(
+        max(int(block / num_shards * cfg.capacity_factor), 64)
     )
+    for _attempt in range(6):
+        keys, cnt, keep, totals, overflow = (
+            shard_pipeline._count_sharded_packed_jit(
+                packed_g, lens_g,
+                cfg=cfg, num_shards=num_shards, capacity=capacity,
+                block_len=block, mesh=mesh,
+            )
+        )
+        if cfg.classifier == "heavy_hitter":
+            types = dispatch.classify(np.asarray(totals), cfg.heavy_ratio)
+            if bool((types == dispatch.HEAVY).any()):
+                return None
+        if int(jax.device_get(overflow)) == 0:
+            break
+        capacity *= 2
+    else:
+        raise RuntimeError("exchange capacity overflow after retries")
     kmerlist = _gather_kmerlist(keys, cnt, keep, cfg, unmix=True)
     return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)
 
@@ -331,26 +331,21 @@ def count_fasta_multihost_ext(
     codes_g, valid_g = mk(sc.astype(np.int8)), mk(sv)
     rid_g, pos_g = mk(sr), mk(sp)
 
-    measured = False
-    if cfg.routing == "range" and cfg.classifier == "heavy_hitter":
-        _, maxslot = shard_pipeline._measure_range_jit(
-            codes_g, valid_g, cfg=cfg, num_shards=num_shards, mesh=mesh
-        )
-        capacity = shard_pipeline._next_pow2(max(int(maxslot), 64))
-        measured = True
-    elif cfg.routing == "range":
+    if cfg.routing == "range":
         capacity = shard_pipeline._next_pow2(
             max(int(block / num_shards * cfg.capacity_factor), 64)
         )
     else:
         capacity = max(int(block / num_shards * cfg.capacity_factor), 64)
 
-    (keys, cnt, keep, srid, spos), _ = shard_pipeline.run_with_capacity_retry(
-        lambda cap: shard_pipeline._count_sharded_ext_jit(
-            codes_g, valid_g, rid_g, pos_g,
-            cfg=cfg, num_shards=num_shards, capacity=cap, mesh=mesh,
-        ),
-        capacity, measured,
+    (keys, cnt, keep, srid, spos, _totals), _ = (
+        shard_pipeline.run_with_capacity_retry(
+            lambda cap: shard_pipeline._count_sharded_ext_jit(
+                codes_g, valid_g, rid_g, pos_g,
+                cfg=cfg, num_shards=num_shards, capacity=cap, mesh=mesh,
+            ),
+            capacity, False,
+        )
     )
 
     keep_local = _local_shards(keep)

@@ -117,7 +117,12 @@ def _range_exchange_merge(
     The shared middle of the range pipelines: segment boundaries by
     searchsorted on static range boundaries, contiguous-range pack, padded
     all_to_all, sentinel-mask, bitonic merge. Returns
-    (merged_words, merged_payloads, overflow_flag).
+    (merged_words, merged_payloads, dest_totals, overflow_flag), where
+    dest_totals are the global per-destination element counts — computed
+    for FREE from the segment offsets the pack needs anyway, which is what
+    lets the heavy-hitter classifier reuse them instead of paying a
+    separate measurement sweep (the reference likewise classifies from
+    counts it already has, src/kmerops.cpp:1157-1199).
     """
     n_valid = jnp.sum(sort_ops.sentinel_valid(mixed_s).astype(jnp.int32))
     bnd = mixkey.range_boundaries(num_shards)[1:-1].astype(np.uint32)
@@ -127,6 +132,7 @@ def _range_exchange_merge(
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), inner, n_valid[None]]
     )
+    dest_totals = jax.lax.psum(jnp.diff(offsets), SHARD_AXIS)
     send_w, send_p, counts, overflow = exchange.pack_sorted_ranges(
         mixed_s, payloads_s, offsets, num_shards, capacity
     )
@@ -150,7 +156,12 @@ def _range_exchange_merge(
 
     flat = [w.reshape(-1) for w in recv_w] + [p.reshape(-1) for p in recv_p]
     merged = merge_ops.merge_sorted_runs(flat, len(recv_w), capacity)
-    return merged[: len(recv_w)], merged[len(recv_w) :], overflow
+    return (
+        merged[: len(recv_w)],
+        merged[len(recv_w) :],
+        dest_totals,
+        overflow,
+    )
 
 
 def _shard_body_range(
@@ -159,12 +170,12 @@ def _shard_body_range(
     """Default per-shard program: one sort, contiguous pack, merge."""
     mixed = _build_marked_mixed(codes.astype(jnp.int8), valid, cfg)
     _, mixed_s, _ = sort_ops.sort_marked(mixed, backend=cfg.sort_backend)
-    merged_w, _, overflow = _range_exchange_merge(
+    merged_w, _, totals, overflow = _range_exchange_merge(
         mixed_s, [], cfg, num_shards, capacity
     )
     cnt, keep = _count_merged(merged_w, cfg)
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
-    return tuple(merged_w), cnt, keep, overflow
+    return tuple(merged_w), cnt, keep, totals, overflow
 
 
 def _shard_body_range_combiner(
@@ -189,7 +200,7 @@ def _shard_body_range_combiner(
         entry_words, [local_cnt.astype(jnp.uint32)],
         backend=cfg.sort_backend,
     )
-    merged_w, merged_p, overflow = _range_exchange_merge(
+    merged_w, merged_p, totals, overflow = _range_exchange_merge(
         entry_s, pay_s, cfg, num_shards, capacity
     )
     svalid2 = sort_ops.sentinel_valid(merged_w)
@@ -198,7 +209,7 @@ def _shard_body_range_combiner(
     )
     keep = count_ops.frequency_filter(head2, cnt, *_bounds(cfg))
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
-    return tuple(merged_w), cnt, keep, overflow
+    return tuple(merged_w), cnt, keep, totals, overflow
 
 
 def _shard_body_bucketed(
@@ -283,11 +294,12 @@ def _shard_body_bucketed(
 
     keep = count_ops.frequency_filter(head, cnt, *_bounds(cfg))
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
+    totals = jax.lax.psum(counts.astype(jnp.int32), SHARD_AXIS)
 
     # Words returned separately (stacking on device wastes an HBM pass).
     # The histogram is computed host-side from the compacted counts (the
     # reference's count timer likewise excludes histogram work).
-    return tuple(words_s), cnt, keep, overflow
+    return tuple(words_s), cnt, keep, totals, overflow
 
 
 @functools.partial(
@@ -304,7 +316,7 @@ def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh)
             body,
             mesh=mesh,
             in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
-            out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P()),
+            out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
             check_rep=False,
         )(codes, valid)
     body = functools.partial(
@@ -314,57 +326,12 @@ def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh)
         body,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P()),
-        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P()),
+        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
         check_rep=False,
     )(codes, valid, assign)
 
 
-def _measure_body(codes, valid, cfg: KmerConfig, num_shards: int):
-    words = kmer_ops.canonical_words(codes.astype(jnp.int32), cfg.k)
-    mixed0 = mixkey.mix_keys(words)[0]
-    dest = mixkey.range_destinations(mixed0, num_shards)
-    local = count_ops.chunked_bincount(dest, valid, num_shards, chunk=65536)
-    totals = jax.lax.psum(local, SHARD_AXIS)
-    maxslot = jax.lax.pmax(jnp.max(local), SHARD_AXIS)
-    return totals, maxslot
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "num_shards", "mesh"))
-def _measure_range_jit(codes, valid, *, cfg, num_shards, mesh):
-    """Classifier measurement pass (reference HeavyHitterClassifier Reduce,
-    src/kmerops.cpp:1157-1199): global per-destination totals + the exact
-    max per-(src,dst) slot count (pre-sizes the exchange capacity)."""
-    return shard_map(
-        lambda c, v: _measure_body(c, v, cfg, num_shards),
-        mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )(codes, valid)
-
-
 # --- packed-wire variants (multihost feeding, ops/wire.py format) -----------
-
-
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "num_shards", "block_len", "mesh")
-)
-def _measure_range_packed_jit(
-    packed, lengths, *, cfg, num_shards, block_len, mesh
-):
-    from ..ops import wire
-
-    def body(pk, ln):
-        codes, valid = wire.decode_block(pk, ln, cfg.k, block_len)
-        return _measure_body(codes, valid, cfg, num_shards)
-
-    return shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )(packed, lengths)
 
 
 @functools.partial(
@@ -392,7 +359,7 @@ def _count_sharded_packed_jit(
         body,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P()),
+        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
         check_rep=False,
     )(packed, lengths)
 
@@ -425,7 +392,7 @@ def _count_sharded_ext_packed_jit(
         body,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS),) * 3,
-        out_specs=(word_specs,) + (P(SHARD_AXIS),) * 4 + (P(),),
+        out_specs=(word_specs,) + (P(SHARD_AXIS),) * 4 + (P(), P()),
         check_rep=False,
     )(packed, lengths, rid_base)
 
@@ -482,8 +449,13 @@ def distribute_reads_packed(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_shards", "mesh"))
 def _bucket_sizes_jit(codes, valid, *, cfg, num_shards, mesh):
-    """Global per-bucket k-mer counts (the classifier/dispatcher input —
-    reference Reduce of task sizes, src/kmerops.cpp:1157-1199)."""
+    """Per-bucket k-mer counts: global totals (the classifier/dispatcher
+    input — reference Reduce of task sizes, src/kmerops.cpp:1157-1199) AND
+    the per-shard local sizes (S, B). The local matrix lets the planner
+    derive EXACT per-(src,dst) exchange maxima from the assignment it is
+    about to compute — no capacity_factor guess, no recompile-retry
+    (reference analogue: exact prealloc from the count exchange,
+    src/kmerops.cpp:751-812)."""
     from ..ops import minimizer as minimizer_ops
     from . import dispatch
 
@@ -494,13 +466,14 @@ def _bucket_sizes_jit(codes, valid, *, cfg, num_shards, mesh):
             codes.astype(jnp.int32), cfg.k, cfg.m, num_buckets
         )
         sizes = dispatch.bucket_sizes_device(bucket, valid, num_buckets)
-        return jax.lax.psum(sizes, SHARD_AXIS)
+        local = jax.lax.all_gather(sizes, SHARD_AXIS)
+        return jax.lax.psum(sizes, SHARD_AXIS), local
 
     return shard_map(
         body,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=P(),
+        out_specs=(P(), P()),
         check_rep=False,
     )(codes, valid)
 
@@ -510,66 +483,51 @@ def plan_sharded_step(
 ) -> tuple[KmerConfig, jnp.ndarray, int, bool]:
     """Choose (cfg, bucket assignment, capacity, measured) for a step.
 
-    Runs the classifier measurement under range routing: exact capacity
-    pre-sizing (measured=True means overflow is impossible, skip retries)
-    and auto-switch to the combiner path when a destination is heavy.
+    Range routing needs NO measurement pass: the full-avalanche mix makes
+    per-(src,dst) loads uniform, so a capacity_factor heuristic with the
+    overflow-flag protocol suffices, and the heavy-hitter classifier reads
+    the per-destination totals the main pass returns for free (see
+    _range_exchange_merge) — skew costs one extra pass, balance costs zero.
+
+    Minimizer routing with the balanced dispatcher measures global bucket
+    sizes anyway (the dispatcher's input); the per-shard local sizes ride
+    the same pass, so the per-(src,dst) maxima are EXACT and measured=True
+    (overflow impossible, no retry path) — VERDICT round-2 #10.
     """
     assign = jnp.zeros(1, dtype=jnp.int32)
     if cfg.routing == "minimizer":
         from . import dispatch
 
-        if cfg.dispatcher == "round_robin":
-            assign = jnp.asarray(
-                dispatch.round_robin_assignment(
-                    num_shards * cfg.avg_buckets_per_shard, num_shards
-                )
-            )
-        else:
-            sizes = np.asarray(
-                _bucket_sizes_jit(
-                    codes_j, valid_j, cfg=cfg, num_shards=num_shards,
-                    mesh=mesh,
-                )
-            )
-            assign = jnp.asarray(
-                dispatch.balanced_assignment(sizes, num_shards)
-            )
-        capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
-        return cfg, assign, capacity, False
-
-    if cfg.routing == "range" and not cfg.combiner:
-        if cfg.classifier == "heavy_hitter":
-            from . import dispatch
-
-            totals, maxslot = _measure_range_jit(
+        num_buckets = num_shards * cfg.avg_buckets_per_shard
+        need_sizes = cfg.dispatcher == "balanced"
+        local_np = None
+        if need_sizes:
+            totals, local_sizes = _bucket_sizes_jit(
                 codes_j, valid_j, cfg=cfg, num_shards=num_shards, mesh=mesh
             )
-            types = dispatch.classify(np.asarray(totals), cfg.heavy_ratio)
-            if (types == dispatch.HEAVY).any() and not cfg.extension:
-                # Heavy-hitter duplicates: pre-aggregate locally before the
-                # exchange (reference ScatteredKmerList conversion,
-                # src/kmerops.cpp:693-727). Entries per (src,dst) are
-                # bounded by distinct keys, so the measured raw maximum is
-                # only an upper bound — size heuristically, keep retries.
-                cfg = dataclasses.replace(cfg, combiner=True)
-                capacity = _next_pow2(
-                    max(
-                        min(
-                            int(maxslot),
-                            int(n_local / num_shards * cfg.capacity_factor),
-                        ),
-                        64,
-                    )
-                )
-                return cfg, assign, capacity, False
-            capacity = _next_pow2(max(int(maxslot), 64))
-            return cfg, assign, capacity, True
-        capacity = _next_pow2(
-            max(int(n_local / num_shards * cfg.capacity_factor), 64)
-        )
-        return cfg, assign, capacity, False
+            local_np = np.asarray(local_sizes)
+            assign_np = dispatch.balanced_assignment(
+                np.asarray(totals), num_shards
+            )
+        else:
+            assign_np = dispatch.round_robin_assignment(
+                num_buckets, num_shards
+            )
+        if local_np is not None:
+            # Exact per-(src,dst) slot maxima from the already-measured
+            # local bucket sizes + the assignment (with the combiner on,
+            # entries are distinct keys <= these raw counts: still an
+            # upper bound, still overflow-free).
+            onehot = np.zeros((num_buckets, num_shards), dtype=np.int64)
+            onehot[np.arange(num_buckets), assign_np] = 1
+            per_src_dst = local_np.astype(np.int64) @ onehot
+            capacity = max(int(per_src_dst.max()), 64)
+            return cfg, jnp.asarray(assign_np), capacity, True
+        capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
+        return cfg, jnp.asarray(assign_np), capacity, False
+
     if cfg.routing == "range":
-        # Explicit range + combiner: pow2 capacity for the run merge.
+        # pow2 capacity (the run merge needs pow2 x pow2 geometry).
         capacity = _next_pow2(
             max(int(n_local / num_shards * cfg.capacity_factor), 64)
         )
@@ -606,13 +564,37 @@ def count_flat_sharded(
         codes_j, valid_j, cfg, num_shards, mesh, n_local
     )
 
-    (keys, cnt, keep), _ = run_with_capacity_retry(
-        lambda cap: _count_sharded_jit(
-            codes_j, valid_j, assign,
-            cfg=cfg2, num_shards=num_shards, capacity=cap, mesh=mesh,
-        ),
-        capacity, measured,
+    from . import dispatch
+
+    # Heavy-hitter detection uses the per-destination totals the main pass
+    # computes for free — no separate measurement sweep. A balanced input
+    # pays zero extra passes; a skewed one pays one combiner re-run (the
+    # reference's heavy path also re-processes those tasks,
+    # src/kmerops.cpp:693-727).
+    heavy_pending = (
+        cfg2.routing == "range"
+        and not cfg2.combiner
+        and cfg2.classifier == "heavy_hitter"
+        and not cfg2.extension
     )
+    for _attempt in range(6):
+        keys, cnt, keep, totals, overflow = _count_sharded_jit(
+            codes_j, valid_j, assign,
+            cfg=cfg2, num_shards=num_shards, capacity=capacity, mesh=mesh,
+        )
+        if heavy_pending:
+            heavy_pending = False
+            types = dispatch.classify(np.asarray(totals), cfg2.heavy_ratio)
+            if (types == dispatch.HEAVY).any():
+                cfg2 = dataclasses.replace(cfg2, combiner=True)
+                continue
+        if int(jax.device_get(overflow)) == 0:
+            break
+        if measured:
+            raise RuntimeError("overflow under exactly-measured capacity")
+        capacity *= 2
+    else:
+        raise RuntimeError("exchange capacity overflow after retries")
 
     from ..pipeline import compact_keys, host_histogram
 
@@ -718,23 +700,30 @@ def count_reads_sharded(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_shards", "mesh"))
-def _merge_partials_jit(words, cnts, *, cfg, num_shards, mesh):
-    """Per-shard merge of accumulated partials: sort + weighted run-length
-    sum + [L,U] filter (the reference's count_sorted_kmerlist,
-    src/kmerops.cpp:1447-1476). No exchange: keys are already owner-placed.
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_shards", "run_len", "mesh")
+)
+def _merge_partials_jit(words, cnts, *, cfg, num_shards, run_len, mesh):
+    """Per-shard merge of accumulated partials: each per-batch partial is
+    already an ascending sorted run (compacted from sorted device output),
+    so this enters the bitonic network at region 2*run_len (ops/merge.py)
+    instead of re-sorting the concatenation — the linear-merge analogue of
+    the reference's count_sorted_kmerlist (src/kmerops.cpp:1447-1476).
+    No exchange: keys are already owner-placed.
 
-    words: tuple of W (S*M,) sentinel-marked key arrays; cnts: (S*M,) u32.
+    words: tuple of W (S*R*run_len,) sentinel-marked key arrays laid out as
+    R sentinel-padded pow2 runs per shard; cnts: same layout, u32 weights.
     """
 
     def body(*args):
         *ws, cn = args
-        _, words_s, pay_s = sort_ops.sort_marked(
-            [w for w in ws], [cn], backend=cfg.sort_backend
+        merged = merge_ops.merge_sorted_runs(
+            [w for w in ws] + [cn], len(ws), run_len
         )
+        words_s, pay = merged[: len(ws)], merged[len(ws)]
         svalid = sort_ops.sentinel_valid(words_s)
         head, total = count_ops.run_length_sum(
-            svalid, words_s, pay_s[0].astype(jnp.int32)
+            svalid, words_s, pay.astype(jnp.int32)
         )
         keep = count_ops.frequency_filter(head, total, cfg.lower, cfg.upper)
         return tuple(words_s), total, keep
@@ -778,6 +767,17 @@ def count_reads_sharded_streaming(
 
     plan = None
     target_block = None
+    # Heavy-hitter routing is decided ONCE, from the totals of the first
+    # batch's main pass (free — see _range_exchange_merge); the combiner
+    # flag may not change mid-stream, but both paths share the mixed key
+    # space so a batch-0 re-run is exact.
+    heavy_pending = (
+        cfg_pre_base.routing == "range"
+        and not cfg_pre_base.combiner
+        and cfg_pre_base.classifier == "heavy_hitter"
+    )
+    from . import dispatch
+
     for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
         flat_c, flat_v = distribute_reads(b_codes, b_lengths, cfg, num_shards)
         block = flat_c.shape[0] // num_shards
@@ -803,18 +803,27 @@ def count_reads_sharded_streaming(
             )
         cfg_pre, assign, capacity, measured = plan
 
-        for _attempt in range(4):
-            keys, cnt, keep, overflow = _count_sharded_jit(
+        for _attempt in range(6):
+            keys, cnt, keep, totals, overflow = _count_sharded_jit(
                 codes_j, valid_j, assign,
                 cfg=cfg_pre, num_shards=num_shards, capacity=capacity,
                 mesh=mesh,
             )
+            if heavy_pending:
+                heavy_pending = False
+                types = dispatch.classify(
+                    np.asarray(totals), cfg_pre.heavy_ratio
+                )
+                if (types == dispatch.HEAVY).any():
+                    cfg_pre = dataclasses.replace(cfg_pre, combiner=True)
+                    plan = (cfg_pre, assign, capacity, measured)
+                    continue
             if int(jax.device_get(overflow)) == 0:
                 break
             capacity *= 2
             plan = (cfg_pre, assign, capacity, measured)
         else:
-            raise RuntimeError("exchange capacity overflow after 4 attempts")
+            raise RuntimeError("exchange capacity overflow after 6 attempts")
 
         keep_np = np.asarray(keep)
         cnt_np = np.asarray(cnt)
@@ -840,25 +849,31 @@ def count_reads_sharded_streaming(
             np.zeros(cfg.upper + 1, np.int32),
         )
 
-    # Pad per-shard partial lists to a common length with sentinel keys.
-    sizes = [sum(a.shape[0] for a in pk) for pk in partial_k]
-    m = max(max(sizes), 1)
-    m = -(-m // cfg.pad_multiple) * cfg.pad_multiple
-    all_k = np.full((num_shards, m, w), 0xFFFFFFFF, dtype=np.uint32)
-    all_c = np.zeros((num_shards, m), dtype=np.uint32)
+    # Lay the per-(shard, batch) partials out as sentinel-padded pow2 runs:
+    # the merge pass then only pays log2(runs) bitonic merge levels, not a
+    # full re-sort (each partial is already ascending).
+    n_batches = max(len(pk) for pk in partial_k)
+    run_len = _next_pow2(
+        max(
+            max((a.shape[0] for pk in partial_k for a in pk), default=1), 1
+        )
+    )
+    n_runs = _next_pow2(n_batches)
+    all_k = np.full(
+        (num_shards, n_runs, run_len, w), 0xFFFFFFFF, dtype=np.uint32
+    )
+    all_c = np.zeros((num_shards, n_runs, run_len), dtype=np.uint32)
     for s in range(num_shards):
-        if sizes[s]:
-            ks = np.concatenate(partial_k[s], axis=0)
-            cs = np.concatenate(partial_c[s])
-            all_k[s, : sizes[s]] = ks
-            all_c[s, : sizes[s]] = cs
+        for b, (ks, cs) in enumerate(zip(partial_k[s], partial_c[s])):
+            all_k[s, b, : ks.shape[0]] = ks
+            all_c[s, b, : cs.shape[0]] = cs
 
     words_in = tuple(
-        jnp.asarray(all_k[:, :, i].reshape(-1)) for i in range(w)
+        jnp.asarray(all_k[:, :, :, i].reshape(-1)) for i in range(w)
     )
     keys_s, total, keep = _merge_partials_jit(
         words_in, jnp.asarray(all_c.reshape(-1)),
-        cfg=cfg, num_shards=num_shards, mesh=mesh,
+        cfg=cfg, num_shards=num_shards, run_len=run_len, mesh=mesh,
     )
 
     from ..pipeline import compact_keys, host_histogram
@@ -890,12 +905,15 @@ def _shard_body_ext_range(
     _, mixed_s, payl_s = sort_ops.sort_marked(
         mixed, payloads, backend=cfg.sort_backend
     )
-    merged_w, merged_p, overflow = _range_exchange_merge(
+    merged_w, merged_p, totals, overflow = _range_exchange_merge(
         mixed_s, payl_s, cfg, num_shards, capacity
     )
     cnt, keep = _count_merged(merged_w, cfg)
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
-    return tuple(merged_w), cnt, keep, merged_p[0], merged_p[1], overflow
+    return (
+        tuple(merged_w), cnt, keep, merged_p[0], merged_p[1], totals,
+        overflow,
+    )
 
 
 def _shard_body_ext_bucketed(
@@ -926,7 +944,11 @@ def _shard_body_ext_bucketed(
     head, cnt = count_ops.run_length_count(svalid, words_s)
     keep = count_ops.frequency_filter(head, cnt, cfg.lower, cfg.upper)
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
-    return tuple(words_s), cnt, keep, payloads_s[0], payloads_s[1], overflow
+    totals = jax.lax.psum(counts.astype(jnp.int32), SHARD_AXIS)
+    return (
+        tuple(words_s), cnt, keep, payloads_s[0], payloads_s[1], totals,
+        overflow,
+    )
 
 
 @functools.partial(
@@ -950,7 +972,7 @@ def _count_sharded_ext_jit(
         body,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(word_specs,) + (P(SHARD_AXIS),) * 4 + (P(),),
+        out_specs=(word_specs,) + (P(SHARD_AXIS),) * 4 + (P(), P()),
         check_rep=False,
     )(codes, valid, rid, pos)
 
@@ -1028,27 +1050,19 @@ def count_reads_sharded_ext(
         rid_j = jnp.asarray(rid_base)
         n_local = block_len
 
-        measured = False
-        if cfg.classifier == "heavy_hitter":
-            _, maxslot = _measure_range_packed_jit(
-                packed_j, lens_j,
-                cfg=cfg, num_shards=num_shards, block_len=block_len,
-                mesh=mesh,
-            )
-            capacity = _next_pow2(max(int(maxslot), 64))
-            measured = True
-        else:
-            capacity = _next_pow2(
-                max(int(n_local / num_shards * cfg.capacity_factor), 64)
-            )
-
-        (keys, cnt, keep, srid, spos), _ = run_with_capacity_retry(
+        # No measurement pass: range destinations are uniform (full-avalanche
+        # mix), and EXT payload entries are raw occurrences either way, so
+        # the heuristic + overflow-retry protocol is both exact and cheap.
+        capacity = _next_pow2(
+            max(int(n_local / num_shards * cfg.capacity_factor), 64)
+        )
+        (keys, cnt, keep, srid, spos, _totals), _ = run_with_capacity_retry(
             lambda cap: _count_sharded_ext_packed_jit(
                 packed_j, lens_j, rid_j,
                 cfg=cfg, num_shards=num_shards, capacity=cap,
                 block_len=block_len, mesh=mesh,
             ),
-            capacity, measured,
+            capacity, False,
         )
     else:
         sc, sv, sr, sp, block_len = build_ext_blocks(
@@ -1058,7 +1072,7 @@ def count_reads_sharded_ext(
         codes_j = jnp.asarray(sc.reshape(-1))
         valid_j = jnp.asarray(sv.reshape(-1))
         capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
-        (keys, cnt, keep, srid, spos), _ = run_with_capacity_retry(
+        (keys, cnt, keep, srid, spos, _totals), _ = run_with_capacity_retry(
             lambda cap: _count_sharded_ext_jit(
                 codes_j,
                 valid_j,

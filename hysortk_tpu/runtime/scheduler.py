@@ -148,30 +148,37 @@ def count_reads_streaming(
             np.zeros(cfg.upper + 1, np.int32),
         )
 
-    all_keys = np.concatenate(partial_keys, axis=0)
-    all_cnts = np.concatenate(partial_cnts, axis=0)
-    m = all_keys.shape[0]
-    pad = -m % cfg.pad_multiple
-    if pad:
-        all_keys = np.concatenate(
-            [all_keys, np.zeros((pad, cfg.words), np.uint32)]
-        )
-        all_cnts = np.concatenate([all_cnts, np.zeros(pad, np.int32)])
-    invalid = np.zeros(all_keys.shape[0], dtype=bool)
-    invalid[m:] = True
+    # Each partial list is already ascending (compacted from sorted device
+    # output), so the final pass MERGES the runs instead of re-sorting the
+    # concatenation — entering the bitonic network at region 2L
+    # (ops/merge.py; measured 1.46-1.67x faster than a re-sort on chip).
+    # Runs are sentinel-padded to a common pow2 length; the all-ones key is
+    # unreachable (ops/sort.py) and sorts strictly last.
+    from ..ops import merge as merge_ops
+
+    next_pow2 = lambda x: 1 << max(int(x) - 1, 0).bit_length()
+    run_len = next_pow2(max(max(p.shape[0] for p in partial_keys), 1))
+    n_runs = next_pow2(len(partial_keys))
+    all_keys = np.full(
+        (n_runs, run_len, cfg.words), 0xFFFFFFFF, dtype=np.uint32
+    )
+    all_cnts = np.zeros((n_runs, run_len), dtype=np.uint32)
+    for i, (pk, pc) in enumerate(zip(partial_keys, partial_cnts)):
+        all_keys[i, : pk.shape[0]] = pk
+        all_cnts[i, : pc.shape[0]] = pc
 
     @functools.partial(
-        jax.jit, static_argnames=("words", "lower", "upper", "backend")
+        jax.jit, static_argnames=("words", "lower", "upper", "run_len")
     )
-    def merge(keys, cnts, invalid, *, words, lower, upper, backend):
-        wlist = [keys[:, w] for w in range(words)]
-        inv_s, words_s, payloads_s = sort_ops.sort_keys(
-            jnp.asarray(invalid), wlist, payloads=[cnts.astype(jnp.uint32)],
-            backend=backend,
+    def merge(keys, cnts, *, words, lower, upper, run_len):
+        wlist = [keys[:, :, w].reshape(-1) for w in range(words)]
+        merged = merge_ops.merge_sorted_runs(
+            wlist + [cnts.reshape(-1)], words, run_len
         )
-        svalid = inv_s == 0
+        words_s, pay = merged[:words], merged[words]
+        svalid = sort_ops.sentinel_valid(words_s)
         head, total = count_ops.run_length_sum(
-            svalid, words_s, payloads_s[0].astype(jnp.int32)
+            svalid, words_s, pay.astype(jnp.int32)
         )
         keep = count_ops.frequency_filter(head, total, lower, upper)
         return tuple(words_s), total, keep
@@ -179,11 +186,10 @@ def count_reads_streaming(
     keys_s, total, keep = merge(
         jnp.asarray(all_keys),
         jnp.asarray(all_cnts),
-        jnp.asarray(invalid),
         words=cfg.words,
         lower=cfg.lower,
         upper=cfg.upper,
-        backend=cfg.sort_backend,
+        run_len=run_len,
     )
     from ..pipeline import host_histogram
 

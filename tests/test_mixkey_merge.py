@@ -139,10 +139,12 @@ def test_range_pipeline_multiword(k):
 @pytestmark_multi
 def test_heavy_hitter_autoswitches_to_combiner():
     """A poly-A-dominated input concentrates one mixed key on one shard;
-    the classifier must detect it and engage the combiner so the step
-    completes without capacity blowup (dispatch.classify's production
+    the classifier must detect it from the per-destination totals the MAIN
+    pass returns (no measurement sweep) and engage the combiner so the
+    step completes without capacity blowup (dispatch.classify's production
     caller — reference HeavyHitterClassifier, src/kmerops.cpp:1157-1199)."""
     from hysortk_tpu.parallel import pipeline as sp
+    from hysortk_tpu.parallel import dispatch
 
     rng = np.random.default_rng(5)
     reads = ["A" * 4000] * 4 + oracle.random_reads(rng, 10, 40, 80)
@@ -155,25 +157,36 @@ def test_heavy_hitter_autoswitches_to_combiner():
 
     mesh = make_mesh(jax.devices())
     flat_c, flat_v = sp.distribute_reads(codes, lengths, cfg, 8)
-    cfg2, _, capacity, measured = sp.plan_sharded_step(
-        jnp.asarray(flat_c, jnp.int8), jnp.asarray(flat_v), cfg, 8, mesh,
-        flat_c.shape[0] // 8,
+    cj, vj = jnp.asarray(flat_c, jnp.int8), jnp.asarray(flat_v)
+    cfg2, assign, capacity, measured = sp.plan_sharded_step(
+        cj, vj, cfg, 8, mesh, flat_c.shape[0] // 8
     )
-    assert cfg2.combiner, "classifier failed to flag the heavy destination"
+    assert not cfg2.combiner  # the plan itself never pays a sweep
+    # One (generously-sized) main pass: its free totals flag the skew.
+    _, _, _, totals, _ = sp._count_sharded_jit(
+        cj, vj, assign, cfg=cfg2, num_shards=8,
+        capacity=sp._next_pow2(flat_c.shape[0]), mesh=mesh,
+    )
+    types = dispatch.classify(np.asarray(totals), cfg.heavy_ratio)
+    assert (types == dispatch.HEAVY).any(), "totals failed to flag skew"
+    # End to end, count_flat_sharded must take the combiner re-run path
+    # and still produce exact counts.
     got, _ = _run(reads, cfg)
     assert got == _expect(reads, cfg)
 
 
 @pytestmark_multi
-def test_measured_capacity_is_exact():
-    """heavy_hitter classifier pre-sizes capacity so the first (only)
-    attempt never overflows (no recompile-retry, VERDICT weak #4)."""
+def test_minimizer_capacity_is_exact():
+    """Under minimizer routing with the balanced dispatcher the planner
+    derives EXACT per-(src,dst) maxima from the bucket sizes it measures
+    for the dispatcher anyway — measured=True, first attempt never
+    overflows, and no smaller capacity would fit (VERDICT round-2 #10)."""
     from hysortk_tpu.parallel import pipeline as sp
     from hysortk_tpu.parallel.mesh import make_mesh
 
     rng = np.random.default_rng(41)
     reads = oracle.random_reads(rng, 60, 40, 100)
-    cfg = KmerConfig(k=31, m=17, lower=1, upper=100, routing="range",
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=100, routing="minimizer",
                      pad_multiple=256)
     codes, lengths = fasta_io.reads_to_codes(reads)
     mesh = make_mesh(jax.devices())
@@ -183,10 +196,18 @@ def test_measured_capacity_is_exact():
         cj, vj, cfg, 8, mesh, flat_c.shape[0] // 8
     )
     assert measured
-    _, _, _, overflow = sp._count_sharded_jit(
+    _, _, _, _, overflow = sp._count_sharded_jit(
         cj, vj, assign, cfg=cfg2, num_shards=8, capacity=capacity, mesh=mesh
     )
     assert int(np.asarray(overflow)) == 0
+    # Range routing plans heuristically (no sweep) and relies on the
+    # overflow protocol instead.
+    cfgR = KmerConfig(k=31, m=17, lower=1, upper=100, routing="range",
+                      pad_multiple=256)
+    _, _, capR, measuredR = sp.plan_sharded_step(
+        cj, vj, cfgR, 8, mesh, flat_c.shape[0] // 8
+    )
+    assert not measuredR and capR >= 64
 
 
 @pytestmark_multi

@@ -80,16 +80,20 @@ def test_packed_sharded_equals_unpacked():
     S = 8
 
     packed, lens2d, block, _ = sp.distribute_reads_packed(codes, lengths, cfg, S)
-    _, maxslot = sp._measure_range_packed_jit(
-        jnp.asarray(packed), jnp.asarray(lens2d.reshape(-1)),
-        cfg=cfg, num_shards=S, block_len=block, mesh=mesh,
+    capacity = sp._next_pow2(
+        max(int(block / S * cfg.capacity_factor), 64)
     )
-    capacity = sp._next_pow2(max(int(maxslot), 64))
-    keys, cnt, keep, overflow = sp._count_sharded_packed_jit(
+    keys, cnt, keep, totals, overflow = sp._count_sharded_packed_jit(
         jnp.asarray(packed), jnp.asarray(lens2d.reshape(-1)),
         cfg=cfg, num_shards=S, capacity=capacity, block_len=block, mesh=mesh,
     )
     assert int(np.asarray(overflow)) == 0
+    # Per-destination totals (free from the segment offsets) must account
+    # for every valid k-mer exactly once.
+    n_valid = sum(
+        max(l - cfg.k + 1, 0) for l in lengths.tolist()
+    )
+    assert int(np.asarray(totals).sum()) == n_valid
     keep_np = np.asarray(keep)
     got_keys = mixkey.unmix_keys_np(compact_keys(keys, keep_np))
     got = dict(
