@@ -46,9 +46,13 @@ __all__ = [
     "count_reads_sharded",
     "count_reads_sharded_ext",
     "count_reads_sharded_streaming",
+    "count_reads_sharded_ext_streaming",
     "count_reads_streaming",
+    "count_reads_streaming_ext",
     "count_fasta_multihost",
     "count_fasta_multihost_ext",
+    "count_fasta_multihost_streaming",
+    "count_fasta_multihost_ext_streaming",
 ]
 
 
@@ -59,18 +63,24 @@ def __getattr__(name):
         "count_reads_sharded",
         "count_reads_sharded_ext",
         "count_reads_sharded_streaming",
+        "count_reads_sharded_ext_streaming",
     ):
         from .parallel import pipeline as _pp
 
         return getattr(_pp, name)
-    if name in ("count_fasta_multihost", "count_fasta_multihost_ext"):
+    if name in (
+        "count_fasta_multihost",
+        "count_fasta_multihost_ext",
+        "count_fasta_multihost_streaming",
+        "count_fasta_multihost_ext_streaming",
+    ):
         from .parallel import multihost as _mh
 
         return getattr(_mh, name)
-    if name == "count_reads_streaming":
-        from .runtime.scheduler import count_reads_streaming
+    if name in ("count_reads_streaming", "count_reads_streaming_ext"):
+        from .runtime import scheduler as _sched
 
-        return count_reads_streaming
+        return getattr(_sched, name)
     raise AttributeError(name)
 
 

@@ -132,12 +132,32 @@ def main(argv=None) -> int:
     with profile_cm, timer.span("kmer_count"):
         if args.extension:
             if args.stream_batch_bases:
-                # Per-occurrence payloads cannot be pre-aggregated into
-                # streaming partials; fail loudly instead of ignoring a flag.
-                raise SystemExit(
-                    "--extension and --stream-batch-bases are incompatible"
-                )
-            if jax.process_count() > 1:
+                # Bounded-memory EXT: per-batch unfiltered occurrence
+                # partials merged host-side (the reference's EXT-indifferent
+                # bounded round loop, src/kmerops.cpp:906-1007).
+                if jax.process_count() > 1:
+                    from .parallel.multihost import (
+                        count_fasta_multihost_ext_streaming,
+                    )
+
+                    kmerlist, hist = count_fasta_multihost_ext_streaming(
+                        args.fasta, cfg, args.stream_batch_bases
+                    )
+                elif len(devices) > 1 and not args.single_device:
+                    from .parallel.pipeline import (
+                        count_reads_sharded_ext_streaming,
+                    )
+
+                    kmerlist, hist = count_reads_sharded_ext_streaming(
+                        codes, lengths, cfg, args.stream_batch_bases
+                    )
+                else:
+                    from .runtime.scheduler import count_reads_streaming_ext
+
+                    kmerlist, hist = count_reads_streaming_ext(
+                        codes, lengths, cfg, args.stream_batch_bases
+                    )
+            elif jax.process_count() > 1:
                 from .parallel.multihost import count_fasta_multihost_ext
 
                 kmerlist, hist = count_fasta_multihost_ext(args.fasta, cfg)
@@ -151,15 +171,12 @@ def main(argv=None) -> int:
                 kmerlist, hist = count_reads_ext(codes, lengths, cfg)
         elif args.stream_batch_bases:
             if jax.process_count() > 1:
-                # Streaming composes with single-process meshes only; a
-                # multi-process run would feed host-local arrays into a
-                # global mesh. Fail loudly instead of misbehaving.
-                raise SystemExit(
-                    "--stream-batch-bases is unavailable in multi-process "
-                    "runs (the multihost path bounds memory via per-host "
-                    "read sharding)"
+                from .parallel.multihost import count_fasta_multihost_streaming
+
+                kmerlist, hist = count_fasta_multihost_streaming(
+                    args.fasta, cfg, args.stream_batch_bases
                 )
-            if len(devices) > 1 and not args.single_device:
+            elif len(devices) > 1 and not args.single_device:
                 from .parallel.pipeline import count_reads_sharded_streaming
 
                 kmerlist, hist = count_reads_sharded_streaming(

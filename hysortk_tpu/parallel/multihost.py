@@ -276,6 +276,178 @@ def _count_multihost_unpacked(
     return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)
 
 
+def count_fasta_multihost_streaming(
+    fasta_path: str, cfg: KmerConfig, batch_bases: int = 1 << 26
+) -> tuple[KmerList, np.ndarray]:
+    """Bounded-memory multi-host counting: every host streams its read
+    shard through the global-mesh exchange in device batches of
+    batch_bases; per-batch UNFILTERED partials accumulate per local device
+    shard (keys never change owner — the routing rule is fixed) and one
+    final collective merge pass sums them with the [L,U] filter. Peak HBM
+    is set by batch_bases at ANY process count — the composition of the
+    reference's bounded rounds with its rank sharding
+    (src/kmerops.cpp:906-1007).
+    """
+    import dataclasses
+
+    from ..pipeline import resolved_cfg
+    from . import dispatch
+
+    codes, lengths = read_my_shard(fasta_path, cfg)
+    mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
+    n_local_dev = jax.local_device_count()
+    num_shards = mesh.devices.size
+    cfg = resolved_cfg(
+        cfg, min(batch_bases, max(codes.size, 1)) // max(n_local_dev, 1)
+    )
+    cfg_pre = dataclasses.replace(cfg, unfiltered=True)
+
+    # Agree on the batch count and one compiled block shape across hosts.
+    spans = shard_pipeline.batch_spans(lengths, batch_bases)
+    block = 0
+    for s, e in spans:
+        l = lengths[s:e]
+        for part in shard_pipeline.partition_read_indices(l, n_local_dev):
+            if part:
+                block = max(
+                    block, int(l[np.asarray(part, np.int64)].sum())
+                )
+    pad = cfg.pad_multiple
+    block = max(-(-(block + 16) // pad) * pad, pad)
+    nb = len(spans)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        dims = multihost_utils.process_allgather(np.asarray([block, nb]))
+        block, nb = int(dims[:, 0].max()), int(dims[:, 1].max())
+    if nb == 0:
+        from ..pipeline import host_histogram
+
+        empty = KmerList(
+            np.zeros((0, cfg.words), np.uint32), np.zeros(0, np.int32), cfg.k
+        )
+        return empty, host_histogram(empty.counts, cfg.upper)
+
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+    gshape = (num_shards * block,)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+
+    partial_k: list[list[np.ndarray]] = [[] for _ in range(n_local_dev)]
+    partial_c: list[list[np.ndarray]] = [[] for _ in range(n_local_dev)]
+    plan = None
+    heavy_pending = (
+        cfg_pre.routing == "range"
+        and not cfg_pre.combiner
+        and cfg_pre.classifier == "heavy_hitter"
+    )
+    for i in range(nb):
+        if i < len(spans):
+            s, e = spans[i]
+            b_codes = codes[offsets[s] : offsets[e]]
+            b_lengths = lengths[s:e]
+        else:
+            b_codes = np.zeros(0, dtype=codes.dtype)
+            b_lengths = np.zeros(0, dtype=np.int64)
+        lc, lv = shard_pipeline.distribute_reads(
+            b_codes, b_lengths, cfg, n_local_dev
+        )
+        lb = lc.shape[0] // n_local_dev
+        assert lb <= block, (lb, block)
+        if lb < block:
+            c2 = np.zeros((n_local_dev, block), np.int8)
+            v2 = np.zeros((n_local_dev, block), dtype=bool)
+            c2[:, :lb] = lc.reshape(n_local_dev, lb)
+            v2[:, :lb] = lv.reshape(n_local_dev, lb)
+            lc, lv = c2.reshape(-1), v2.reshape(-1)
+        codes_g = jax.make_array_from_process_local_data(
+            sharding, lc.astype(np.int8), gshape
+        )
+        valid_g = jax.make_array_from_process_local_data(
+            sharding, lv, gshape
+        )
+        if plan is None:
+            # Collective planning on batch 0 (deterministic across hosts).
+            plan = shard_pipeline.plan_sharded_step(
+                codes_g, valid_g, cfg_pre, num_shards, mesh, block
+            )
+        cfg_b, assign, capacity, measured = plan
+        for _attempt in range(6):
+            keys, cnt, keep, totals, overflow = (
+                shard_pipeline._count_sharded_jit(
+                    codes_g, valid_g, assign,
+                    cfg=cfg_b, num_shards=num_shards, capacity=capacity,
+                    mesh=mesh,
+                )
+            )
+            if heavy_pending:
+                heavy_pending = False
+                types = dispatch.classify(
+                    np.asarray(totals), cfg_b.heavy_ratio
+                )
+                if bool((types == dispatch.HEAVY).any()):
+                    cfg_b = dataclasses.replace(cfg_b, combiner=True)
+                    plan = (cfg_b, assign, capacity, measured)
+                    continue
+            if int(jax.device_get(overflow)) == 0:
+                break
+            capacity *= 2
+            plan = (cfg_b, assign, capacity, measured)
+        else:
+            raise RuntimeError("exchange capacity overflow after retries")
+
+        keep_l = _local_shards(keep)
+        cnt_l = _local_shards(cnt)
+        words_l = [_local_shards(w) for w in keys]
+        out_len = keep_l.shape[0] // n_local_dev
+        for d in range(n_local_dev):
+            sl = slice(d * out_len, (d + 1) * out_len)
+            km = keep_l[sl]
+            partial_k[d].append(
+                np.stack([w[sl][km] for w in words_l], axis=-1)
+            )
+            partial_c[d].append(cnt_l[sl][km].astype(np.uint32))
+
+    cfg_used = plan[0]
+    w = cfg.words
+    run_len = max((a.shape[0] for pk in partial_k for a in pk), default=1)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        run_len = int(
+            multihost_utils.process_allgather(np.asarray(run_len)).max()
+        )
+    run_len = shard_pipeline._next_pow2(max(run_len, 1))
+    n_runs = shard_pipeline._next_pow2(max(nb, 1))
+    local_k = np.full(
+        (n_local_dev, n_runs, run_len, w), 0xFFFFFFFF, dtype=np.uint32
+    )
+    local_c = np.zeros((n_local_dev, n_runs, run_len), dtype=np.uint32)
+    for d in range(n_local_dev):
+        for b, (ks, cs) in enumerate(zip(partial_k[d], partial_c[d])):
+            local_k[d, b, : ks.shape[0]] = ks
+            local_c[d, b, : cs.shape[0]] = cs
+    flat_len = (num_shards * n_runs * run_len,)
+    words_g = tuple(
+        jax.make_array_from_process_local_data(
+            sharding,
+            np.ascontiguousarray(local_k[:, :, :, i].reshape(-1)),
+            flat_len,
+        )
+        for i in range(w)
+    )
+    cnts_g = jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(local_c.reshape(-1)), flat_len
+    )
+    keys_s, total, keep = shard_pipeline._merge_partials_jit(
+        words_g, cnts_g,
+        cfg=cfg, num_shards=num_shards, run_len=run_len, mesh=mesh,
+    )
+    kmerlist = _gather_kmerlist(
+        keys_s, total, keep, cfg, unmix=cfg_used.routing == "range"
+    )
+    return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)
+
+
 def count_fasta_multihost_ext(
     fasta_path: str, cfg: KmerConfig
 ) -> tuple["KmerListExt", np.ndarray]:
@@ -306,8 +478,29 @@ def count_fasta_multihost_ext(
     cfg = resolved_cfg(
         cfg, codes.size // max(n_local_dev, 1), extra_operands=2
     )
+    kmerlist = _multihost_ext_pass(
+        codes, lengths, cfg, mesh, n_local_dev, num_shards, rid_offset
+    )
+    return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)
+
+
+def _multihost_ext_pass(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    mesh: Mesh,
+    n_local_dev: int,
+    num_shards: int,
+    rid_offset: int,
+    min_block: int = 0,
+) -> "KmerListExt":
+    """One collective EXT exchange pass over the global mesh; returns this
+    host's local-shard KmerListExt. min_block pins the compiled shape from
+    below (streaming callers)."""
+    from ..pipeline import KmerListExt, split_occurrences
+
     sc, sv, sr, sp, block = shard_pipeline.build_ext_blocks(
-        codes, lengths, cfg, n_local_dev, rid_offset
+        codes, lengths, cfg, n_local_dev, rid_offset, min_block_len=min_block
     )
 
     if jax.process_count() > 1:
@@ -363,14 +556,81 @@ def count_fasta_multihost_ext(
         from ..ops import mixkey
 
         keys_local = mixkey.unmix_keys_np(keys_local)
-    from ..pipeline import split_occurrences
-
     pos_runs, rid_runs = split_occurrences(starts, counts, spos_np, srid_np)
-    kmerlist = KmerListExt(
+    return KmerListExt(
         keys=keys_local,
         counts=counts,
         k=cfg.k,
         pos=pos_runs,
         rid=rid_runs,
     )
-    return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)
+
+
+def count_fasta_multihost_ext_streaming(
+    fasta_path: str, cfg: KmerConfig, batch_bases: int = 1 << 26
+) -> tuple["KmerListExt", np.ndarray]:
+    """Bounded-memory multi-host EXT counting: every host streams its read
+    shard in device batches of batch_bases; per-batch UNFILTERED partials
+    (keys stay on their owner shards — the routing rule is fixed) merge
+    host-locally, with [L,U] applied to merged totals only. Peak HBM is set
+    by batch_bases at any process count — the reference's bounded rounds at
+    any nprocs (src/kmerops.cpp:906-1007)."""
+    import dataclasses
+
+    from ..io import fasta as fasta_io
+    from ..pipeline import host_histogram, merge_ext_partials, resolved_cfg
+    from ..runtime.scheduler import iter_read_batches
+
+    mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
+    n_local_dev = jax.local_device_count()
+    num_shards = mesh.devices.size
+
+    records = fasta_io.load_or_build_fai(fasta_path)
+    parts = fasta_io.partition_records(records, jax.process_count())
+    my_part = parts[jax.process_index()]
+    mine = [records[i] for i in my_part]
+    rid_offset = my_part[0] if my_part else 0
+    codes, lengths = fasta_io.read_records(fasta_path, mine)
+
+    cfg = resolved_cfg(
+        cfg, min(batch_bases, max(codes.size, 1)) // max(n_local_dev, 1),
+        extra_operands=2,
+    )
+    cfg_pre = dataclasses.replace(cfg, unfiltered=True)
+
+    # Agree on the batch count and the per-batch block shape across hosts
+    # (stragglers feed empty batches; collectives need uniform shapes).
+    spans = shard_pipeline.batch_spans(lengths, batch_bases)
+    block, _ = shard_pipeline.ext_stream_dims(
+        lengths, batch_bases, cfg, n_local_dev
+    )
+    nb = len(spans)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        dims = multihost_utils.process_allgather(np.asarray([block, nb]))
+        block, nb = int(dims[:, 0].max()), int(dims[:, 1].max())
+
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    partials = []
+    rid_off = rid_offset
+    for i in range(nb):
+        if i < len(spans):
+            s, e = spans[i]
+            b_codes = codes[offsets[s] : offsets[e]]
+            b_lengths = lengths[s:e]
+        else:
+            b_codes = np.zeros(0, dtype=codes.dtype)
+            b_lengths = np.zeros(0, dtype=np.int64)
+        partials.append(
+            _multihost_ext_pass(
+                b_codes, b_lengths, cfg_pre, mesh, n_local_dev, num_shards,
+                rid_off, min_block=block,
+            )
+        )
+        rid_off += b_lengths.size
+
+    merged = merge_ext_partials(
+        partials, cfg.lower, cfg.upper, cfg.k, cfg.words
+    )
+    return merged, _global_histogram(merged.counts, cfg.upper)

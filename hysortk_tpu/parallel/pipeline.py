@@ -403,12 +403,17 @@ def distribute_reads_packed(
     cfg: KmerConfig,
     num_shards: int,
     read_id_offset: int = 0,
+    min_block_len: int = 0,
+    min_lmax: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, int, np.ndarray]:
     """Base-balanced per-shard blocks in wire format.
 
     Returns (packed (S * block_len/16,) uint32, lengths2d (S, lmax) int32,
     block_len, rid_base (S,) int32 — the global id of each shard's first
     read). block_len is a multiple of 16 and cfg.pad_multiple.
+
+    min_block_len / min_lmax pin the output shapes from below so a batch
+    stream compiles ONCE (streaming callers pass the first batch's dims).
     """
     from ..io import supermer as supermer_io
 
@@ -433,9 +438,11 @@ def distribute_reads_packed(
         shard_lens.append(l)
 
     gran = int(np.lcm(16, cfg.pad_multiple))
-    raw = max(max(c.shape[0] for c in shard_codes) + 16, gran)
+    raw = max(
+        max(c.shape[0] for c in shard_codes) + 16, gran, min_block_len
+    )
     block_len = -(-raw // gran) * gran
-    lmax = max(max(l.shape[0] for l in shard_lens), 1)
+    lmax = max(max(l.shape[0] for l in shard_lens), 1, min_lmax)
 
     packed = np.zeros((num_shards, block_len // 16), dtype=np.uint32)
     lens2d = np.zeros((num_shards, lmax), dtype=np.int32)
@@ -753,7 +760,9 @@ def count_reads_sharded_streaming(
     from ..runtime.scheduler import iter_read_batches
 
     if cfg.extension:
-        raise ValueError("streaming is unavailable in extension mode")
+        raise ValueError(
+            "use count_reads_sharded_ext_streaming for extension mode"
+        )
 
     mesh = mesh or make_mesh()
     num_shards = mesh.devices.size
@@ -942,7 +951,7 @@ def _shard_body_ext_bucketed(
     )
     svalid = inv_s == 0
     head, cnt = count_ops.run_length_count(svalid, words_s)
-    keep = count_ops.frequency_filter(head, cnt, cfg.lower, cfg.upper)
+    keep = count_ops.frequency_filter(head, cnt, *_bounds(cfg))
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
     totals = jax.lax.psum(counts.astype(jnp.int32), SHARD_AXIS)
     return (
@@ -983,6 +992,7 @@ def build_ext_blocks(
     cfg: KmerConfig,
     num_shards: int,
     read_id_offset: int = 0,
+    min_block_len: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """Per-shard equal-size (codes, valid, rid, pos) blocks for EXT mode."""
     from ..io import fasta as fasta_io
@@ -1007,7 +1017,7 @@ def build_ext_blocks(
                 c, l, cfg.k, cfg.pad_multiple, base
             )
         )
-    block_len = max(b[0].shape[0] for b in blocks)
+    block_len = max(max(b[0].shape[0] for b in blocks), min_block_len)
     sc = np.zeros((num_shards, block_len), dtype=np.int8)
     sv = np.zeros((num_shards, block_len), dtype=bool)
     sr = np.zeros((num_shards, block_len), dtype=np.int32)
@@ -1020,12 +1030,90 @@ def build_ext_blocks(
     return sc, sv, sr, sp, block_len
 
 
+def batch_spans(lengths: np.ndarray, batch_bases: int) -> list[tuple[int, int]]:
+    """Read-index spans of the streaming batches (iter_read_batches's
+    batching rule, computed from lengths alone — no code copies)."""
+    spans = []
+    n = lengths.size
+    start = 0
+    while start < n:
+        end = start
+        acc = 0
+        while end < n and (acc == 0 or acc + lengths[end] <= batch_bases):
+            acc += int(lengths[end])
+            end += 1
+        spans.append((start, end))
+        start = end
+    return spans
+
+
+def ext_stream_dims(
+    lengths: np.ndarray, batch_bases: int, cfg: KmerConfig, num_shards: int
+) -> tuple[int, int]:
+    """Exact (block_len, lmax) upper bounds over every streaming batch.
+
+    Simulated from lengths alone (cheap), so the whole stream compiles ONCE
+    — shapes are pinned from below via the min_block_len/min_lmax params of
+    the block builders.
+    """
+    gran = int(np.lcm(16, cfg.pad_multiple))
+    max_raw, max_lmax = gran, 1
+    for s, e in batch_spans(lengths, batch_bases):
+        l = lengths[s:e]
+        for part in partition_read_indices(l, num_shards):
+            if part:
+                bases = int(l[np.asarray(part, dtype=np.int64)].sum())
+                max_raw = max(max_raw, bases + 16)
+                max_lmax = max(max_lmax, len(part))
+    return -(-max_raw // gran) * gran, max_lmax
+
+
+def count_reads_sharded_ext_streaming(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    batch_bases: int = 1 << 26,
+    mesh: Optional[Mesh] = None,
+    read_id_offset: int = 0,
+) -> tuple["KmerListExt", np.ndarray]:
+    """Bounded-memory EXT counting on a mesh: peak HBM is set by
+    batch_bases, not input size. Each batch runs the sharded EXT pass
+    UNFILTERED; per-batch (key, count, occurrences) partials accumulate in
+    host RAM and merge host-side ([L,U] applies to merged totals only) —
+    the reference's EXT-indifferent bounded round loop
+    (src/kmerops.cpp:906-1007: nothing in the exchange is EXT-conditional).
+    """
+    from ..pipeline import host_histogram, merge_ext_partials
+    from ..runtime.scheduler import iter_read_batches
+
+    mesh = mesh or make_mesh()
+    cfg_pre = dataclasses.replace(cfg, unfiltered=True)
+    min_dims = ext_stream_dims(
+        lengths, batch_bases, cfg, mesh.devices.size
+    )
+
+    partials = []
+    rid_off = read_id_offset
+    for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
+        kl, _ = count_reads_sharded_ext(
+            b_codes, b_lengths, cfg_pre, mesh,
+            read_id_offset=rid_off, min_dims=min_dims,
+        )
+        partials.append(kl)
+        rid_off += b_lengths.size
+    merged = merge_ext_partials(
+        partials, cfg.lower, cfg.upper, cfg.k, cfg.words
+    )
+    return merged, host_histogram(merged.counts, cfg.upper)
+
+
 def count_reads_sharded_ext(
     codes: np.ndarray,
     lengths: np.ndarray,
     cfg: KmerConfig,
     mesh: Optional[Mesh] = None,
     read_id_offset: int = 0,
+    min_dims: tuple[int, int] = (0, 1),
 ) -> tuple["KmerListExt", np.ndarray]:
     """Sharded EXT pipeline: per-kmer (rid, pos) occurrence lists.
 
@@ -1043,7 +1131,8 @@ def count_reads_sharded_ext(
 
     if cfg.routing == "range":
         packed, lens2d, block_len, rid_base = distribute_reads_packed(
-            codes, lengths, cfg, num_shards, read_id_offset
+            codes, lengths, cfg, num_shards, read_id_offset,
+            min_block_len=min_dims[0], min_lmax=min_dims[1],
         )
         packed_j = jnp.asarray(packed)
         lens_j = jnp.asarray(lens2d.reshape(-1))
@@ -1066,7 +1155,8 @@ def count_reads_sharded_ext(
         )
     else:
         sc, sv, sr, sp, block_len = build_ext_blocks(
-            codes, lengths, cfg, num_shards, read_id_offset
+            codes, lengths, cfg, num_shards, read_id_offset,
+            min_block_len=min_dims[0],
         )
         n_local = block_len
         codes_j = jnp.asarray(sc.reshape(-1))

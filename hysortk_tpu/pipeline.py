@@ -121,14 +121,17 @@ def count_flat_ext(
     """Extension-mode host wrapper: slices the sorted payload stream into
     per-kmer occurrence lists (ragged assembly stays host-side)."""
     cfg = resolved_cfg(cfg, codes.shape[0], extra_operands=2)
+    lower, upper = (
+        (1, 2**31 - 1) if cfg.unfiltered else (cfg.lower, cfg.upper)
+    )
     keys, cnt, keep, srid, spos = _count_device_ext(
         jnp.asarray(codes, dtype=jnp.int8),
         jnp.asarray(valid),
         jnp.asarray(rid),
         jnp.asarray(pos),
         cfg.k,
-        cfg.lower,
-        cfg.upper,
+        lower,
+        upper,
         cfg.sort_backend,
     )
     keep_np = np.asarray(keep)
@@ -223,6 +226,56 @@ def split_occurrences(
     return [
         [a[s:e] for s, e in zip(s_list, e_list)] for a in arrays
     ]
+
+
+def merge_ext_partials(
+    partials: list["KmerListExt"], lower: int, upper: int, k: int, words: int
+) -> "KmerListExt":
+    """Merge unfiltered per-batch EXT partials into one filtered result.
+
+    Each partial holds distinct keys with their occurrence payload runs
+    from one bounded device batch; equal keys across batches are summed and
+    their occurrence lists concatenated (order-free semantics, matching the
+    reference's EXTENSION count_sorted_kmers accumulation,
+    src/kmerops.cpp:1430-1438). The [L, U] filter applies to the merged
+    totals only — exactly the reference's bounded-round behaviour, where
+    nothing in the exchange loop is EXT-conditional (kmerops.cpp:906-1007).
+    """
+    nonempty = [p for p in partials if len(p)]
+    if not nonempty:
+        return KmerListExt(
+            keys=np.zeros((0, words), np.uint32),
+            counts=np.zeros(0, np.int32),
+            k=k,
+        )
+    all_keys = np.concatenate([p.keys for p in nonempty], axis=0)
+    all_cnts = np.concatenate([p.counts for p in nonempty]).astype(np.int64)
+    occ_pos = [a for p in nonempty for a in p.pos]
+    occ_rid = [a for p in nonempty for a in p.rid]
+
+    order = np.lexsort(
+        tuple(all_keys[:, w] for w in range(all_keys.shape[1] - 1, -1, -1))
+    )
+    keys_s = all_keys[order]
+    head = np.ones(keys_s.shape[0], dtype=bool)
+    head[1:] = (keys_s[1:] != keys_s[:-1]).any(axis=1)
+    group_ids = np.cumsum(head) - 1
+    totals = np.bincount(group_ids, weights=all_cnts[order]).astype(np.int64)
+    keep = (totals >= lower) & (totals <= upper)
+
+    entries_per_group = np.split(order, np.flatnonzero(head)[1:])
+    pos_out, rid_out = [], []
+    for g in np.flatnonzero(keep).tolist():
+        ent = entries_per_group[g].tolist()
+        pos_out.append(np.concatenate([occ_pos[i] for i in ent]))
+        rid_out.append(np.concatenate([occ_rid[i] for i in ent]))
+    return KmerListExt(
+        keys=keys_s[head][keep],
+        counts=totals[keep].astype(np.int32),
+        k=k,
+        pos=pos_out,
+        rid=rid_out,
+    )
 
 
 def resolved_cfg(

@@ -87,6 +87,54 @@ def suggest_batch_bases(cfg: KmerConfig, device=None) -> int:
     return snap_batch_to_pow2_flat(batch, cfg.pad_multiple)
 
 
+def count_reads_streaming_ext(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    batch_bases: int = 1 << 26,
+    read_id_offset: int = 0,
+):
+    """Bounded-memory EXT counting on one chip: each device batch runs the
+    EXT pipeline UNFILTERED, per-batch (key, count, occurrences) partials
+    merge host-side with the [L,U] filter applied to merged totals only —
+    the reference's EXT-indifferent bounded round loop
+    (src/kmerops.cpp:906-1007). Peak HBM is set by batch_bases."""
+    import dataclasses
+
+    from ..io import fasta as fasta_io
+    from ..pipeline import (
+        count_flat_ext,
+        host_histogram,
+        merge_ext_partials,
+        resolved_cfg,
+    )
+
+    cfg = resolved_cfg(cfg, batch_bases, extra_operands=2)
+    cfg_pre = dataclasses.replace(cfg, unfiltered=True)
+    target = -(-(batch_bases + 16) // cfg.pad_multiple) * cfg.pad_multiple
+
+    partials = []
+    rid_off = read_id_offset
+    for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
+        flat, valid, rid, pos = fasta_io.flatten_for_device_ext(
+            b_codes, b_lengths, cfg.k, cfg.pad_multiple, rid_off
+        )
+        if flat.shape[0] < target:
+            pad = target - flat.shape[0]
+            flat = np.concatenate([flat, np.zeros(pad, flat.dtype)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+            rid = np.concatenate([rid, np.zeros(pad, rid.dtype)])
+            pos = np.concatenate([pos, np.zeros(pad, pos.dtype)])
+        kl, _ = count_flat_ext(flat, valid, rid, pos, cfg_pre)
+        partials.append(kl)
+        rid_off += b_lengths.size
+
+    merged = merge_ext_partials(
+        partials, cfg.lower, cfg.upper, cfg.k, cfg.words
+    )
+    return merged, host_histogram(merged.counts, cfg.upper)
+
+
 def count_reads_streaming(
     codes: np.ndarray,
     lengths: np.ndarray,

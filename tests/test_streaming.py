@@ -116,3 +116,103 @@ def test_sharded_streaming_heavy_single_batch_count():
     )
     assert len(st_list) == 1
     assert int(st_list.counts[0]) == 2070
+
+
+# --- EXT streaming (bounded-memory extension mode) ---------------------------
+
+
+def _ext_dict(kl):
+    return kl.as_dict()
+
+
+def test_streaming_ext_equals_oneshot_single_chip():
+    """count_reads_streaming_ext == count_reads_ext: counts AND the full
+    (rid, pos) occurrence sets, with tiny batches forcing real merges of
+    keys that span batches."""
+    from hysortk_tpu import count_reads_ext
+    from hysortk_tpu.runtime.scheduler import count_reads_streaming_ext
+
+    rng = np.random.default_rng(23)
+    reads = oracle.random_reads(rng, 20, 35, 80)
+    reads = reads + reads[:8]
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=50, extension=True,
+                     pad_multiple=128)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+
+    one, one_hist = count_reads_ext(codes, lengths, cfg)
+    st, st_hist = count_reads_streaming_ext(
+        codes, lengths, cfg, batch_bases=300
+    )
+    assert _ext_dict(st) == _ext_dict(one)
+    assert np.array_equal(st_hist, one_hist)
+
+
+@needs_mesh
+def test_streaming_ext_equals_oneshot_sharded():
+    from hysortk_tpu.parallel.pipeline import (
+        count_reads_sharded_ext,
+        count_reads_sharded_ext_streaming,
+    )
+
+    rng = np.random.default_rng(29)
+    reads = oracle.random_reads(rng, 24, 35, 80)
+    reads = reads + reads[:10]
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=50, extension=True,
+                     pad_multiple=128)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+
+    one, one_hist = count_reads_sharded_ext(codes, lengths, cfg)
+    st, st_hist = count_reads_sharded_ext_streaming(
+        codes, lengths, cfg, batch_bases=400
+    )
+    assert _ext_dict(st) == _ext_dict(one)
+    assert np.array_equal(st_hist, one_hist)
+
+
+@needs_mesh
+def test_multihost_streaming_single_process(tmp_path):
+    """count_fasta_multihost_streaming (the any-nprocs bounded-memory
+    composition) equals the one-shot multihost path on the 1-process
+    degenerate case; real 2-process coverage lives in
+    tools/test_multiprocess.sh."""
+    from hysortk_tpu.parallel.multihost import (
+        count_fasta_multihost,
+        count_fasta_multihost_streaming,
+    )
+
+    rng = np.random.default_rng(31)
+    reads = oracle.random_reads(rng, 40, 35, 90) + ["ACGT" * 30] * 6
+    fa = tmp_path / "mh.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=60, pad_multiple=128)
+    one, one_hist = count_fasta_multihost(str(fa), cfg)
+    st, st_hist = count_fasta_multihost_streaming(
+        str(fa), cfg, batch_bases=600
+    )
+    assert st.as_dict() == one.as_dict()
+    assert np.array_equal(st_hist, one_hist)
+
+
+@needs_mesh
+def test_multihost_ext_streaming_single_process(tmp_path):
+    from hysortk_tpu.parallel.multihost import (
+        count_fasta_multihost_ext,
+        count_fasta_multihost_ext_streaming,
+    )
+
+    rng = np.random.default_rng(37)
+    reads = oracle.random_reads(rng, 18, 35, 70)
+    fa = tmp_path / "mhe.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=60, extension=True,
+                     pad_multiple=128)
+    one, one_hist = count_fasta_multihost_ext(str(fa), cfg)
+    st, st_hist = count_fasta_multihost_ext_streaming(
+        str(fa), cfg, batch_bases=400
+    )
+    assert _ext_dict(st) == _ext_dict(one)
+    assert np.array_equal(st_hist, one_hist)

@@ -65,6 +65,24 @@ ext_payload = {
 with open(f"{tmp}/out/ext_{pid}.json", "w") as f:
     json.dump(ext_payload, f)
 
+# Bounded-memory STREAMING across 2 real processes (non-EXT + EXT): tiny
+# batches force several collective rounds; results must match one-shot.
+kl_st, hist_st = multihost.count_fasta_multihost_streaming(
+    f"{tmp}/mp.fa", cfg, batch_bases=1200
+)
+assert kl_st.as_dict() == kmerlist.as_dict(), "streaming != one-shot"
+import numpy as np
+assert np.array_equal(hist_st, hist)
+kl_est, hist_est = multihost.count_fasta_multihost_ext_streaming(
+    f"{tmp}/mp.fa", cfg_ext, batch_bases=1200
+)
+assert hist_est.tolist() == hist_ext.tolist()
+est_payload = {
+    km.decode(): sorted((int(r), int(p)) for r, p in zip(rr.tolist(), pp.tolist()))
+    for km, rr, pp in zip(kl_est.decoded(), kl_est.rid, kl_est.pos)
+}
+assert est_payload == ext_payload, "EXT streaming != one-shot"
+
 from jax.experimental import multihost_utils
 multihost_utils.sync_global_devices("done-writing")
 
@@ -97,7 +115,7 @@ if pid == 0:
     }
     got_ext = {km: [tuple(x) for x in v] for km, v in ext_union.items()}
     assert got_ext == expected_ext, (len(got_ext), len(expected_ext))
-    print(f"MULTIPROCESS OK: {len(got)} kmers (+EXT payloads), 2 processes x 2 devices", flush=True)
+    print(f"MULTIPROCESS OK: {len(got)} kmers (+EXT payloads +streaming), 2 processes x 2 devices", flush=True)
 EOF
 }
 
