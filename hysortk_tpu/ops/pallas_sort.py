@@ -279,6 +279,7 @@ def merge_levels(
     block_rows: int,
     fuse_bits: int = 3,
     start_k: int | None = None,
+    tail: str = "roll",
 ) -> list[jnp.ndarray]:
     """Run bitonic merge levels from region size `start_k` (default: just
     above the block size) up to the array length.
@@ -292,6 +293,14 @@ def merge_levels(
     n_blocks = n // block
     arrs2d = [a.reshape(n // LANES, LANES) for a in arrays]
     n_arrays = len(arrays)
+
+    if tail == "member":
+        from . import pallas_msort
+
+        assert block_rows == pallas_msort.BLOCK_ROWS, block_rows
+        tail_kernel = pallas_msort._tail_member_kernel(n_arrays, n_words)
+    else:
+        tail_kernel = _tail_kernel(n_arrays, n_words, block_rows)
 
     # index_map receives (grid_idx, *scalar_prefetch_refs).
     tail_spec = pl.BlockSpec(
@@ -350,7 +359,7 @@ def merge_levels(
         )
         arrs2d = list(
             pl.pallas_call(
-                _tail_kernel(n_arrays, n_words, block_rows),
+                tail_kernel,
                 grid_spec=tail_grid,
                 out_shape=[
                     jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d
@@ -372,12 +381,19 @@ def sort_words(
     payloads: Sequence[jnp.ndarray] = (),
     block_rows: int = 256,
     fuse_bits: int = 4,
+    formulation: str = "member",
 ) -> tuple[list[jnp.ndarray], list[jnp.ndarray]]:
     """Sort 1-D uint32 key words (lexicographic) with payloads, ascending.
 
     Invalid slots must carry the all-ones sentinel in every key word. The
     input is padded (with the sentinel) to B * 2^m; the pad is sliced off on
     return, which is safe because the sentinel sorts strictly last.
+
+    formulation="member" (default) uses the round-3 row-group kernels
+    (ops/pallas_msort.py: static-slice partner fetch for the 5 high row
+    bits, bit-permuted layout end-to-end with one XLA un-permute at the
+    end); "roll" keeps the round-2 all-roll kernels. Member requires the
+    fixed 256-row block geometry; other block_rows fall back to roll.
     """
     n_words = len(words)
     arrays = [w.astype(jnp.uint32) for w in words] + [
@@ -413,9 +429,23 @@ def sort_words(
     ):
         fuse_bits -= 1
 
-    arrays = block_bitonic_sort(arrays, n_words, block_rows)
-    if n_pad > block:
-        arrays = merge_levels(arrays, n_words, block_rows, fuse_bits)
+    if formulation == "member":
+        from . import pallas_msort
+
+        if block_rows != pallas_msort.BLOCK_ROWS:
+            formulation = "roll"  # member geometry is fixed at 256 rows
+
+    if formulation == "member":
+        arrays = pallas_msort.block_sort_member(arrays, n_words)
+        if n_pad > block:
+            arrays = merge_levels(
+                arrays, n_words, block_rows, fuse_bits, tail="member"
+            )
+        arrays = [pallas_msort.unpermute_blocks(a) for a in arrays]
+    else:
+        arrays = block_bitonic_sort(arrays, n_words, block_rows)
+        if n_pad > block:
+            arrays = merge_levels(arrays, n_words, block_rows, fuse_bits)
 
     arrays = [a[:n] for a in arrays]
     return arrays[:n_words], arrays[n_words:]
@@ -427,6 +457,7 @@ def merge_runs(
     run_len: int,
     block_rows: int = 256,
     fuse_bits: int = 4,
+    formulation: str = "roll",
 ) -> list[jnp.ndarray]:
     """Merge N/run_len ascending sorted runs with the Pallas merge levels.
 
@@ -457,6 +488,17 @@ def merge_runs(
         and (1 << fuse_bits) * block * 4 * len(arrays) > budget
     ):
         fuse_bits -= 1
+    if formulation == "member" and block_rows == 256:
+        from . import pallas_msort
+
+        # Inputs arrive physically ordered: move to the permuted layout,
+        # run the cheap member tails, restore order once at the end.
+        arrays = [pallas_msort.permute_blocks(a) for a in arrays]
+        arrays = merge_levels(
+            arrays, n_words, block_rows, fuse_bits, start_k=2 * run_len,
+            tail="member",
+        )
+        return [pallas_msort.unpermute_blocks(a) for a in arrays]
     return merge_levels(
         arrays, n_words, block_rows, fuse_bits, start_k=2 * run_len
     )
