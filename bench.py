@@ -54,10 +54,10 @@ def main():
         pass
 
     from hysortk_tpu.config import KmerConfig
-    from hysortk_tpu.pipeline import _count_device
+    from hysortk_tpu.pipeline import _count_device, resolved_cfg
 
     cfg = KmerConfig(k=31, m=17, lower=2, upper=50, fuse_keybuild=True,
-                     fuse_count=True)
+                     fuse_count=True, sort_backend="auto")
 
     platform = jax.devices()[0].platform
     # Sized so the flattened device array lands EXACTLY on 2^26: lax.sort
@@ -70,6 +70,10 @@ def main():
 
     codes_j = jax.device_put(jax.numpy.asarray(codes, dtype=jax.numpy.int8))
     valid_j = jax.device_put(jax.numpy.asarray(valid))
+
+    # Resolve "auto" host-side (2^26 on a chip -> the member Pallas sort,
+    # the production decision path; small CPU runs -> lax.sort).
+    cfg = resolved_cfg(cfg, codes.size)
 
     run = lambda: _count_device(
         codes_j, valid_j, cfg.k, cfg.lower, cfg.upper, cfg.sort_backend,

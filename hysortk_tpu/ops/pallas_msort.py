@@ -1,37 +1,37 @@
-"""Member-layout bitonic block sort: phase A/tails with cheap row-group stages.
+"""Member-tile bitonic block sort: phase A/tails as compare/selects on vregs.
 
 Round-3 redesign of the in-VMEM parts of ops/pallas_sort.py, motivated by the
 round-2 measurement that phase A is COMPUTE-bound (131 ms of 289 at 2^26 —
 CLAUDE.md ledger): every compare-exchange stage there fetches its partner with
 two circular rolls, and rolls (Mosaic relayouts) dominate the stage cost.
 
-The fix exploits that a compare-exchange at stride j only needs element i^j:
-when the stride bit lives in the ROW-GROUP part of the index (row bits >= 3,
-i.e. whole (8,128) vreg tiles), the partner is a *layout-preserving static
-slice* — view the (R, 128) block as (G, 2, Rb, 128), compare v[:,0] with
-v[:,1] elementwise, and stack back. No rolls, no relayouts: reshapes that
-split only the row dimension at multiples of 8 keep vreg boundaries intact.
-Only row bits 0..2 (sublane rolls) and the 7 lane bits still pay rolls.
+Design: each B-element block, viewed as (R, 128), is held as M = R/8 named
+"member" tiles of exactly one (8, 128) vreg each. The block is BIT-PERMUTED:
 
-Because low strides repeat most in a bitonic sort (stride 2^s occurs
-log2(B)-s times), every kernel here works in a BIT-PERMUTED layout that puts
-logical bits 0..4 on the row-group axis (free), 5..7 on sublanes, 8..14 on
-lanes:
+    physical slot (8*m + r0, c) holds logical element
+        i = m | (r0 << mb) | (c << (mb + 3)),      mb = log2(M)
 
-    physical slot (r, c) holds logical element
-        i = (r >> 3) | ((r & 7) << 5) | (c << 8)
+so the logical LOW bits — which repeat most in a bitonic network (stride 2^s
+occurs log2(B)-s times) — live on the member axis. A compare-exchange whose
+stride bit is a member bit is then a pure elementwise compare/select between
+two named tiles: no rolls, no relayouts, no reshapes — and its direction is
+often a *python constant* (when the region bit is also a member bit), which
+deletes the mask logic entirely. Only the 3 sublane bits and 7 lane bits pay
+partner rolls.
 
-With B = 2^15 that makes 65 of phase A's 120 stages roll-free and shrinks
-every remaining roll distance.
-
-Crucially the permutation is block-local and identical in every block, so the
-ENTIRE sort runs in permuted layout: cross-block merge strides (j >= B) pair
+The permutation is block-local and identical in every block, so the ENTIRE
+sort runs in permuted layout: cross-block merge strides (j >= B) pair
 identical intra-block offsets — pallas_sort._cross_kernel is elementwise
 between blocks and needs no change — and the per-level tails use the same
-permuted map (_tail_member_kernel). Mosaic cannot lower the in-kernel
-un-permute ((32,8,128) transpose = "unsupported shape cast"), so the single
-physical-order restore is ONE XLA transpose after the last merge level
+member map (_tail_member_kernel). Mosaic cannot lower an in-kernel un-permute
+((32,8,128) transpose = "unsupported shape cast"), so the single physical-
+order restore is ONE XLA transpose after the last merge level
 (unpermute_blocks) — ~2 HBM passes per array, microseconds next to the sort.
+
+Geometry is parametric in log2(B) (block_rows = 2^(log_b-7)); bigger blocks
+strictly help: the paid (rolled) stages per phase-A network are a constant
+sum(1..10) = 55 and each merge level's tail pays exactly 10 rolled stages, so
+raising B converts whole merge levels into cheap member stages.
 
 Reference role: PARADIS/RADULS (dependency/Paradis/paradissort.hpp,
 dependency/Raduls/raduls.h:349-546) — the reference's CPU radix sorts; on TPU
@@ -50,14 +50,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_sort
-from .pallas_sort import LANES, _lex_less_eq, _roll
+from .pallas_sort import LANES, _lex_less_leq, _roll
 
 _FULL32 = np.uint32(0xFFFFFFFF)
 
-# Fixed geometry: B = 2^15 elements per block as (256, 128).
+# Default geometry: B = 2^15 elements per block as (256, 128).
 BLOCK_ROWS = 256
 BLOCK = BLOCK_ROWS * LANES  # 32768
-_LOG_B = 15
+LOG_B = 15
+
+
+def _geometry(log_b: int):
+    """(rows, members, member_bits) for a 2^log_b-element block."""
+    assert log_b >= 11, log_b  # at least 2 members
+    rows = 1 << (log_b - 7)
+    m = rows // 8
+    return rows, m, log_b - 10
 
 
 # ---------------------------------------------------------------------------
@@ -65,117 +73,134 @@ _LOG_B = 15
 # ---------------------------------------------------------------------------
 
 
-def permute_blocks(a: jnp.ndarray) -> jnp.ndarray:
-    """Physical order -> permuted layout, block-locally (1-D, n % BLOCK == 0).
+def permute_blocks(a: jnp.ndarray, log_b: int = LOG_B) -> jnp.ndarray:
+    """Physical order -> permuted layout, block-locally (1-D, n % B == 0).
 
-    After this, physical slot (r, c) of each block holds the element whose
-    physical index within the block was (r >> 3) | ((r & 7) << 5) | (c << 8).
+    After this, physical slot (8m + r0, c) of each block holds the element
+    whose physical index within the block was m | (r0 << mb) | (c << mb+3).
     """
     n = a.shape[0]
+    block = 1 << log_b
+    _, m, _ = _geometry(log_b)
     return (
-        a.reshape(n // BLOCK, LANES, 8, 32)
-        .transpose(0, 3, 2, 1)
-        .reshape(n)
+        a.reshape(n // block, LANES, 8, m).transpose(0, 3, 2, 1).reshape(n)
     )
 
 
-def unpermute_blocks(a: jnp.ndarray) -> jnp.ndarray:
+def unpermute_blocks(a: jnp.ndarray, log_b: int = LOG_B) -> jnp.ndarray:
     """Permuted layout -> physical order; exact inverse of permute_blocks."""
     n = a.shape[0]
+    block = 1 << log_b
+    _, m, _ = _geometry(log_b)
     return (
-        a.reshape(n // BLOCK, 32, 8, LANES)
-        .transpose(0, 3, 2, 1)
-        .reshape(n)
+        a.reshape(n // block, m, 8, LANES).transpose(0, 3, 2, 1).reshape(n)
     )
 
 
 # ---------------------------------------------------------------------------
-# In-kernel building blocks.
+# In-kernel building blocks. `mem` is mem[array][member] -> (8, 128) tile.
 # ---------------------------------------------------------------------------
+
+
+def _lex_less(a_words, b_words):
+    """Elementwise strict lexicographic a < b over word lists."""
+    less = jnp.zeros(a_words[0].shape, dtype=jnp.bool_)
+    eq = jnp.ones(a_words[0].shape, dtype=jnp.bool_)
+    for aw, bw in zip(a_words, b_words):
+        less = less | (eq & (aw < bw))
+        eq = eq & (aw == bw)
+    return less
+
+
+def _pair_cex(los, his, n_words, take_min_lo):
+    """Compare-exchange between two member tiles (lo has stride bit 0).
+
+    take_min_lo may be a python bool (fully static direction — minimal op
+    count), a traced scalar bool, or an (8, 128) mask; all broadcast.
+    """
+    if take_min_lo is True:
+        swap = _lex_less(his[:n_words], los[:n_words])
+    elif take_min_lo is False:
+        swap = _lex_less(los[:n_words], his[:n_words])
+    else:
+        # swap = tm ? (hi<lo) : (hi>lo), in xor form (Mosaic has no
+        # select-of-booleans): with eqm = less^leq the equality mask,
+        # tm?less:~leq == less ^ ~(tm|eqm).
+        less, leq = _lex_less_leq(his[:n_words], los[:n_words])
+        swap = less ^ ~(take_min_lo | (less ^ leq))
+    new_los = [jnp.where(swap, h, l) for l, h in zip(los, his)]
+    new_his = [jnp.where(swap, l, h) for l, h in zip(los, his)]
+    return new_los, new_his
 
 
 def _partner2(x: jnp.ndarray, axis: int, q: int) -> jnp.ndarray:
-    """Value at index (coord ^ q) along `axis` of a (R, 128) array."""
+    """Value at index (coord ^ q) along `axis` of a tile."""
+    if 2 * q == x.shape[axis]:
+        # Top bit: a circular roll by half the axis IS the xor-swap —
+        # one roll, no iota select.
+        return _roll(x, q, axis)
     bit = (jax.lax.broadcasted_iota(jnp.int32, x.shape, axis) & q) != 0
     return jnp.where(bit, _roll(x, q, axis), _roll(x, -q, axis))
 
 
-def _cex_roll(arrs, n_words, axis, q, take_min):
-    """Compare-exchange where the stride bit lives on a rolled axis.
+def _roll_cex(tiles, n_words, axis, q, take_min):
+    """Compare-exchange within one member tile at roll distance q.
 
-    take_min: (R, 128) bool — positions whose pair-minimum they keep
-    (bit_k(i) == bit_j(i), the global bitonic direction rule).
+    swap = tm ? (x>p) : (x<p); xor form: less ^ (tm & ~eqm).
     """
-    partners = [_partner2(a, axis, q) for a in arrs]
-    less, eq = _lex_less_eq(arrs[:n_words], partners[:n_words])
-    greater = ~(less | eq)
-    swap = (take_min & greater) | (~take_min & less)
-    return [jnp.where(swap, p, a) for a, p in zip(arrs, partners)]
+    partners = [_partner2(t, axis, q) for t in tiles]
+    less, leq = _lex_less_leq(tiles[:n_words], partners[:n_words])
+    swap = less ^ (take_min & ~(less ^ leq))
+    return [jnp.where(swap, p, t) for t, p in zip(tiles, partners)]
 
 
-def _cex_rowgroup(arrs, n_words, rb: int, take_min_lo):
-    """Compare-exchange where the stride bit is row bit log2(rb) >= 3.
+def _tile_bit(mb: int, p: int) -> jnp.ndarray:
+    """(8,128) bool: bit p of the intra-block logical index (p >= mb)."""
+    if p < mb + 3:
+        axis, bit = 0, p - mb
+    else:
+        axis, bit = 1, p - mb - 3
+    iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), axis)
+    return ((iota >> bit) & 1) == 1
 
-    Partner pairs are contiguous row groups of rb rows: view (R, 128) as
-    (G, 2, rb, 128) — two static slices, elementwise compare, stack back.
-    Layout-preserving (rb >= 8 keeps vreg rows intact): no rolls at all.
 
-    take_min_lo: direction mask already sliced to the lo-half geometry
-    (G, rb, 128) — the lo half has bit_j = 0, so take_min = (bit_k == 0).
+def _stage(mem, n_arrays, n_words, mb, log_b, s, bit_k, k_bit):
+    """One compare-exchange at logical stride 2^s over all members.
+
+    bit_k describes the enclosing region bit: a python int 0/1 is not
+    possible here — it is either None (meaning k_bit < mb: static per
+    member), a traced scalar bool, or an (8,128) mask.
     """
-    R = arrs[0].shape[0]
-    g = R // (2 * rb)
-    views = [a.reshape(g, 2, rb, LANES) for a in arrs]
-    lo = [v[:, 0] for v in views]
-    hi = [v[:, 1] for v in views]
-    less, eq = _lex_less_eq(hi[:n_words], lo[:n_words])
-    greater = ~(less | eq)  # hi > lo
-    swap = (take_min_lo & less) | (~take_min_lo & greater)
-    out = []
-    for l, h in zip(lo, hi):
-        new_lo = jnp.where(swap, h, l)
-        new_hi = jnp.where(swap, l, h)
-        out.append(
-            jnp.stack([new_lo, new_hi], axis=1).reshape(R, LANES)
-        )
-    return out
-
-
-def _bit(i_log: jnp.ndarray, p):
-    """(i_log >> p) & 1 as a bool array; p may be a python int or traced."""
-    return ((i_log >> p) & 1) == 1
-
-
-def _rowgroup_mask(take_min_full, rb: int):
-    """Slice a full (R,128) direction mask to the lo-half (G, rb, 128)."""
-    R = take_min_full.shape[0]
-    g = R // (2 * rb)
-    return take_min_full.reshape(g, 2, rb, LANES)[:, 0]
-
-
-def _ilog(beta):
-    """Logical element index at each physical slot, permuted map + block
-    offset. Logical bits 0..4 -> row bits 3..7, 5..7 -> row bits 0..2,
-    8..14 -> lane bits."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 1)
-    i = (rows >> 3) | ((rows & 7) << 5) | (cols << 8)
-    return i + beta * BLOCK
-
-
-def _stage(arrs, n_words, s: int, bit_k, i_log):
-    """One compare-exchange at logical stride 2^s in the permuted layout.
-
-    bit_k: (R,128) bool — bit of the enclosing region size k at each slot;
-    constant across each stride-2^s pair because k > 2^s always.
-    """
-    if s < 5:
-        take_min_lo = _rowgroup_mask(~bit_k, 8 << s)
-        return _cex_rowgroup(arrs, n_words, 8 << s, take_min_lo)
-    take_min = bit_k == _bit(i_log, s)
-    if s < 8:
-        return _cex_roll(arrs, n_words, 0, 1 << (s - 5), take_min)
-    return _cex_roll(arrs, n_words, 1, 1 << (s - 8), take_min)
+    n_members = len(mem[0])
+    if s < mb:  # member stage: partner is another named tile
+        for m in range(n_members):
+            if m & (1 << s):
+                continue
+            pm = m | (1 << s)
+            if bit_k is None:  # k_bit < mb: fully static direction
+                tm = ((m >> k_bit) & 1) == 0
+            else:  # traced scalar or (8,128) mask; both broadcast
+                tm = ~bit_k
+            los = [mem[x][m] for x in range(n_arrays)]
+            his = [mem[x][pm] for x in range(n_arrays)]
+            nl, nh = _pair_cex(los, his, n_words, tm)
+            for x in range(n_arrays):
+                mem[x][m] = nl[x]
+                mem[x][pm] = nh[x]
+        return mem
+    # roll stage: k_bit > s >= mb, so bit_k is a mask or traced scalar.
+    bit_j = _tile_bit(mb, s)
+    take_min = bit_j == bit_k
+    if s < mb + 3:
+        axis, q = 0, 1 << (s - mb)
+    else:
+        axis, q = 1, 1 << (s - mb - 3)
+    for m in range(n_members):
+        tiles = [mem[x][m] for x in range(n_arrays)]
+        out = _roll_cex(tiles, n_words, axis, q, take_min)
+        for x in range(n_arrays):
+            mem[x][m] = out[x]
+    return mem
 
 
 # ---------------------------------------------------------------------------
@@ -183,31 +208,44 @@ def _stage(arrs, n_words, s: int, bit_k, i_log):
 # ---------------------------------------------------------------------------
 
 
-def _block_sort_member_kernel(n_arrays: int, n_words: int):
+def _block_sort_member_kernel(n_arrays: int, n_words: int, log_b: int):
+    rows, n_members, mb = _geometry(log_b)
+
     def kernel(*refs):
         ins, outs = refs[:n_arrays], refs[n_arrays:]
-        arrs = [r[:] for r in ins]
         beta = pl.program_id(0)
-        i_log = _ilog(beta)
+        mem = [
+            [ins[x][8 * m : 8 * m + 8, :] for m in range(n_members)]
+            for x in range(n_arrays)
+        ]
         k = 2
-        while k <= BLOCK:
-            bit_k = _bit(i_log, int(k).bit_length() - 1)
+        while k <= (1 << log_b):
+            k_bit = int(k).bit_length() - 1
+            if k_bit < mb:
+                bit_k = None
+            elif k_bit < log_b:
+                bit_k = _tile_bit(mb, k_bit)
+            else:  # k == B: region bit comes from the block index
+                bit_k = (beta & 1) == 1
             j = k // 2
             while j >= 1:
                 s = int(j).bit_length() - 1
-                arrs = _stage(arrs, n_words, s, bit_k, i_log)
+                mem = _stage(
+                    mem, n_arrays, n_words, mb, log_b, s, bit_k, k_bit
+                )
                 j //= 2
             k *= 2
-        for o, a in zip(outs, arrs):
-            o[:] = a
+        for x in range(n_arrays):
+            for m in range(n_members):
+                outs[x][8 * m : 8 * m + 8, :] = mem[x][m]
 
     return kernel
 
 
 def block_sort_member(
-    arrays: Sequence[jnp.ndarray], n_words: int
+    arrays: Sequence[jnp.ndarray], n_words: int, log_b: int = LOG_B
 ) -> list[jnp.ndarray]:
-    """Sort each 32768-element block in LOGICAL (permuted-layout) order;
+    """Sort each 2^log_b-element block in LOGICAL (permuted-layout) order;
     blocks alternate asc/desc (the orientation merge_levels expects).
 
     Input order is arbitrary (phase A sorts), so no input permute is needed:
@@ -216,14 +254,16 @@ def block_sort_member(
     unpermute_blocks once at the end.
     """
     n = arrays[0].shape[0]
-    assert n % BLOCK == 0, n
-    n_blocks = n // BLOCK
+    block = 1 << log_b
+    rows, _, _ = _geometry(log_b)
+    assert n % block == 0, (n, block)
+    n_blocks = n // block
     arrs2d = [a.reshape(n // LANES, LANES) for a in arrays]
     spec = pl.BlockSpec(
-        (BLOCK_ROWS, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
+        (rows, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        _block_sort_member_kernel(len(arrays), n_words),
+        _block_sort_member_kernel(len(arrays), n_words, log_b),
         grid=(n_blocks,),
         in_specs=[spec] * len(arrays),
         out_specs=[spec] * len(arrays),
@@ -234,26 +274,140 @@ def block_sort_member(
 
 
 # ---------------------------------------------------------------------------
+# Fused final cross pass + tail of one merge level.
+# ---------------------------------------------------------------------------
+
+
+def _cross_tail_member_kernel(
+    n_arrays: int, n_words: int, log_b: int, f: int
+):
+    """The last f cross strides (j = B*2^(f-1) .. B) of a merge level PLUS
+    the full block-local tail (strides B/2 .. 1), one HBM round trip.
+
+    The plain formulation pays one extra read+write pass per level for the
+    tail (pallas_sort.merge_levels); since the final cross group already has
+    its 2^f blocks resident in VMEM, running the tail on each before the
+    write-back deletes that pass. Level parameters (k_blockbit, k_bitpos)
+    arrive via scalar prefetch so one compile per f serves every level.
+
+    Reference role: the single-pass MSD recursion step of RADULS
+    (dependency/Raduls/raduls.h:349-546) — do all the work you can while
+    the data is resident.
+    """
+    rows, n_members, mb = _geometry(log_b)
+    nb = 1 << f
+
+    def kernel(params_ref, *refs):
+        k_blockbit = params_ref[0]
+        k_bitpos = params_ref[1]
+        ins = refs[:n_arrays]
+        outs = refs[n_arrays : 2 * n_arrays]
+        scratch = refs[2 * n_arrays : 3 * n_arrays]
+        sems = refs[3 * n_arrays]
+        g = pl.program_id(0)
+
+        def beta_of(b):
+            return (g << f) | b
+
+        for x in range(n_arrays):
+            for b in range(nb):
+                pltpu.make_async_copy(
+                    ins[x].at[pl.ds(beta_of(b) * rows, rows), :],
+                    scratch[x].at[pl.ds(b * rows, rows), :],
+                    sems.at[x * nb + b],
+                ).start()
+        for x in range(n_arrays):
+            for b in range(nb):
+                pltpu.make_async_copy(
+                    ins[x].at[pl.ds(beta_of(b) * rows, rows), :],
+                    scratch[x].at[pl.ds(b * rows, rows), :],
+                    sems.at[x * nb + b],
+                ).wait()
+
+        vals = [
+            [scratch[x][b * rows : (b + 1) * rows, :] for b in range(nb)]
+            for x in range(n_arrays)
+        ]
+        # Cross strides: block-index bits f-1 .. 0 (j = B*2^bitpos).
+        for bitpos in range(f - 1, -1, -1):
+            for b in range(nb):
+                if (b >> bitpos) & 1:
+                    continue
+                pb = b | (1 << bitpos)
+                lo_w = [vals[x][b] for x in range(n_arrays)]
+                hi_w = [vals[x][pb] for x in range(n_arrays)]
+                less, leq = _lex_less_leq(hi_w[:n_words], lo_w[:n_words])
+                take_min = ((beta_of(b) >> k_blockbit) & 1) == 0
+                swap = less ^ ~(take_min | (less ^ leq))
+                for x in range(n_arrays):
+                    new_lo = jnp.where(swap, hi_w[x], lo_w[x])
+                    new_hi = jnp.where(swap, lo_w[x], hi_w[x])
+                    vals[x][b] = new_lo
+                    vals[x][pb] = new_hi
+        # Block-local tails (strides B/2 .. 1), permuted member layout.
+        for b in range(nb):
+            bit_k = ((beta_of(b) >> (k_bitpos - log_b)) & 1) == 1
+            mem = [
+                [
+                    vals[x][b][8 * m : 8 * m + 8, :]
+                    for m in range(n_members)
+                ]
+                for x in range(n_arrays)
+            ]
+            for s in range(log_b - 1, -1, -1):
+                mem = _stage(
+                    mem, n_arrays, n_words, mb, log_b, s, bit_k, log_b
+                )
+            for x in range(n_arrays):
+                for m in range(n_members):
+                    scratch[x][b * rows + 8 * m : b * rows + 8 * m + 8, :] = (
+                        mem[x][m]
+                    )
+        for x in range(n_arrays):
+            for b in range(nb):
+                pltpu.make_async_copy(
+                    scratch[x].at[pl.ds(b * rows, rows), :],
+                    outs[x].at[pl.ds(beta_of(b) * rows, rows), :],
+                    sems.at[x * nb + b],
+                ).start()
+        for x in range(n_arrays):
+            for b in range(nb):
+                pltpu.make_async_copy(
+                    scratch[x].at[pl.ds(b * rows, rows), :],
+                    outs[x].at[pl.ds(beta_of(b) * rows, rows), :],
+                    sems.at[x * nb + b],
+                ).wait()
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
 # Tail: strides B/2 .. 1 of one merge level, permuted layout throughout.
 # ---------------------------------------------------------------------------
 
 
-def _tail_member_kernel(n_arrays: int, n_words: int):
+def _tail_member_kernel(n_arrays: int, n_words: int, log_b: int = LOG_B):
     """k-bit position arrives via scalar prefetch: one compile serves all
     merge levels (same contract as pallas_sort._tail_kernel). Operates on
-    blocks in permuted layout; k >= 2B means bit_k depends only on the block
-    index, so it is insensitive to the intra-block permutation."""
+    blocks in permuted layout; k >= 2B means the region bit depends only on
+    the block index — a traced SCALAR direction for every stage."""
+    rows, n_members, mb = _geometry(log_b)
 
     def kernel(params_ref, *refs):
         k_bitpos = params_ref[0]
         ins, outs = refs[:n_arrays], refs[n_arrays:]
-        arrs = [r[:] for r in ins]
         beta = pl.program_id(0)
-        i_log = _ilog(beta)
-        bit_k = _bit(i_log, k_bitpos)
-        for s in range(_LOG_B - 1, -1, -1):  # j = B/2 .. 1
-            arrs = _stage(arrs, n_words, s, bit_k, i_log)
-        for o, a in zip(outs, arrs):
-            o[:] = a
+        bit_k = ((beta >> (k_bitpos - log_b)) & 1) == 1  # scalar bool
+        mem = [
+            [ins[x][8 * m : 8 * m + 8, :] for m in range(n_members)]
+            for x in range(n_arrays)
+        ]
+        for s in range(log_b - 1, -1, -1):  # j = B/2 .. 1
+            mem = _stage(
+                mem, n_arrays, n_words, mb, log_b, s, bit_k, log_b
+            )
+        for x in range(n_arrays):
+            for m in range(n_members):
+                outs[x][8 * m : 8 * m + 8, :] = mem[x][m]
 
     return kernel

@@ -81,6 +81,26 @@ def _lex_less_eq(a_words, b_words):
     return less, eq
 
 
+def _lex_less_leq(a_words, b_words):
+    """Elementwise lexicographic (a < b, a <= b) over word lists.
+
+    Three fewer vector ops per compare-exchange than the less/eq/greater
+    chain when the consumer needs strict-less one way and its complement
+    the other (swap masks): a > b is just ~(a <= b).
+    """
+    less = a_words[0] < b_words[0]
+    if len(a_words) == 1:
+        return less, less | (a_words[0] == b_words[0])
+    eq = a_words[0] == b_words[0]
+    for aw, bw in zip(a_words[1:-1], b_words[1:-1]):
+        less = less | (eq & (aw < bw))
+        eq = eq & (aw == bw)
+    aw, bw = a_words[-1], b_words[-1]
+    less = less | (eq & (aw < bw))
+    leq = less | (eq & (aw == bw))
+    return less, leq
+
+
 def _cex_local(arrs, n_words, j, k_bitpos, i_global):
     """Compare-exchange at roll distance j (< B) with global bitonic rule.
 
@@ -216,14 +236,13 @@ def _cross_kernel(n_arrays: int, n_words: int, block_rows: int, f: int):
                 pm = m | (1 << bitpos)
                 lo_w = [vals[x][m] for x in range(n_arrays)]
                 hi_w = [vals[x][pm] for x in range(n_arrays)]
-                less, eq = _lex_less_eq(hi_w[:n_words], lo_w[:n_words])
-                greater = ~(less | eq)  # hi > lo
+                less, leq = _lex_less_leq(hi_w[:n_words], lo_w[:n_words])
                 # take_min for the lower member iff the region bit is 0;
                 # that bit is outside the member bits, so it is uniform
-                # across the group members of this pair.
-                bit_k = (beta_of(m) >> k_blockbit) & 1
-                take_min = bit_k == 0
-                swap = (take_min & less) | (~take_min & greater)
+                # across the group members of this pair. swap = tm ? (hi<lo)
+                # : (hi>lo) in xor form (no select-of-booleans on Mosaic).
+                take_min = ((beta_of(m) >> k_blockbit) & 1) == 0
+                swap = less ^ ~(take_min | (less ^ leq))
                 for x in range(n_arrays):
                     new_lo = jnp.where(swap, hi_w[x], lo_w[x])
                     new_hi = jnp.where(swap, lo_w[x], hi_w[x])
@@ -297,8 +316,10 @@ def merge_levels(
     if tail == "member":
         from . import pallas_msort
 
-        assert block_rows == pallas_msort.BLOCK_ROWS, block_rows
-        tail_kernel = pallas_msort._tail_member_kernel(n_arrays, n_words)
+        log_b = int(block).bit_length() - 1
+        tail_kernel = pallas_msort._tail_member_kernel(
+            n_arrays, n_words, log_b
+        )
     else:
         tail_kernel = _tail_kernel(n_arrays, n_words, block_rows)
 
@@ -310,6 +331,7 @@ def merge_levels(
 
     k = start_k if start_k is not None else 2 * block
     assert k >= 2 * block, (k, block)
+    log_b = int(block).bit_length() - 1
     while k <= n:
         u = int(k // block).bit_length() - 2  # k = 2B * 2^u
         k_blockbit = u + 1  # bit of the block index
@@ -318,13 +340,13 @@ def merge_levels(
         # bit-range groups of at most fuse_bits.
         s_list = list(range(u, -1, -1))
         idx = 0
+        tail_fused = False
         while idx < len(s_list):
             group = tuple(s_list[idx : idx + fuse_bits])
             idx += len(group)
             f = len(group)
             s_lo = group[-1]
             n_groups = n_blocks >> f
-            params = jnp.asarray([s_lo, k_blockbit], dtype=jnp.int32)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n_groups,),
@@ -336,9 +358,24 @@ def merge_levels(
                 ]
                 + [pltpu.SemaphoreType.DMA((n_arrays * (1 << f),))],
             )
+            if tail == "member" and s_lo == 0:
+                # Final cross group: fold this level's block-local tail
+                # into the same HBM round trip (one pass saved per level).
+                from . import pallas_msort
+
+                kern = pallas_msort._cross_tail_member_kernel(
+                    n_arrays, n_words, log_b, f
+                )
+                params = jnp.asarray(
+                    [k_blockbit, k_bitpos], dtype=jnp.int32
+                )
+                tail_fused = True
+            else:
+                kern = _cross_kernel(n_arrays, n_words, block_rows, f)
+                params = jnp.asarray([s_lo, k_blockbit], dtype=jnp.int32)
             arrs2d = list(
                 pl.pallas_call(
-                    _cross_kernel(n_arrays, n_words, block_rows, f),
+                    kern,
                     grid_spec=grid_spec,
                     out_shape=[
                         jax.ShapeDtypeStruct(a.shape, a.dtype)
@@ -350,23 +387,25 @@ def merge_levels(
                     interpret=_INTERPRET,
                 )(params, *arrs2d)
             )
-        # Local tail for this level (strides j < B).
-        tail_grid = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_blocks,),
-            in_specs=[tail_spec] * n_arrays,
-            out_specs=[tail_spec] * n_arrays,
-        )
-        arrs2d = list(
-            pl.pallas_call(
-                tail_kernel,
-                grid_spec=tail_grid,
-                out_shape=[
-                    jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs2d
-                ],
-                interpret=_INTERPRET,
-            )(jnp.asarray([k_bitpos], dtype=jnp.int32), *arrs2d)
-        )
+        if not tail_fused:
+            # Local tail for this level (strides j < B).
+            tail_grid = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_blocks,),
+                in_specs=[tail_spec] * n_arrays,
+                out_specs=[tail_spec] * n_arrays,
+            )
+            arrs2d = list(
+                pl.pallas_call(
+                    tail_kernel,
+                    grid_spec=tail_grid,
+                    out_shape=[
+                        jax.ShapeDtypeStruct(a.shape, a.dtype)
+                        for a in arrs2d
+                    ],
+                    interpret=_INTERPRET,
+                )(jnp.asarray([k_bitpos], dtype=jnp.int32), *arrs2d)
+            )
         k *= 2
     return [a.reshape(n) for a in arrs2d]
 
@@ -379,7 +418,7 @@ def merge_levels(
 def sort_words(
     words: Sequence[jnp.ndarray],
     payloads: Sequence[jnp.ndarray] = (),
-    block_rows: int = 256,
+    block_rows: int = 512,
     fuse_bits: int = 4,
     formulation: str = "member",
 ) -> tuple[list[jnp.ndarray], list[jnp.ndarray]]:
@@ -402,6 +441,12 @@ def sort_words(
     n = arrays[0].shape[0]
     if n == 0:
         return list(arrays[:n_words]), list(arrays[n_words:])
+    if _INTERPRET and block_rows > 16:
+        # Interpret mode (CPU tests) emulates every unrolled stage over
+        # every member tile in Python; production geometry takes tens of
+        # minutes to trace. 16 rows keeps the same code paths (member
+        # stages, rolls, fused cross+tail) at tractable size.
+        block_rows = 16
     block = block_rows * LANES
 
     # Pad to block * 2^m.
@@ -429,19 +474,21 @@ def sort_words(
     ):
         fuse_bits -= 1
 
+    log_b = int(block).bit_length() - 1
+    if formulation == "member" and (
+        block & (block - 1) != 0 or log_b < 11
+    ):
+        formulation = "roll"  # member needs a pow2 block of >= 2 members
+
     if formulation == "member":
         from . import pallas_msort
 
-        if block_rows != pallas_msort.BLOCK_ROWS:
-            formulation = "roll"  # member geometry is fixed at 256 rows
-
-    if formulation == "member":
-        arrays = pallas_msort.block_sort_member(arrays, n_words)
+        arrays = pallas_msort.block_sort_member(arrays, n_words, log_b)
         if n_pad > block:
             arrays = merge_levels(
                 arrays, n_words, block_rows, fuse_bits, tail="member"
             )
-        arrays = [pallas_msort.unpermute_blocks(a) for a in arrays]
+        arrays = [pallas_msort.unpermute_blocks(a, log_b) for a in arrays]
     else:
         arrays = block_bitonic_sort(arrays, n_words, block_rows)
         if n_pad > block:
@@ -488,17 +535,18 @@ def merge_runs(
         and (1 << fuse_bits) * block * 4 * len(arrays) > budget
     ):
         fuse_bits -= 1
-    if formulation == "member" and block_rows == 256:
+    log_b = int(block).bit_length() - 1
+    if formulation == "member" and block & (block - 1) == 0 and log_b >= 11:
         from . import pallas_msort
 
         # Inputs arrive physically ordered: move to the permuted layout,
         # run the cheap member tails, restore order once at the end.
-        arrays = [pallas_msort.permute_blocks(a) for a in arrays]
+        arrays = [pallas_msort.permute_blocks(a, log_b) for a in arrays]
         arrays = merge_levels(
             arrays, n_words, block_rows, fuse_bits, start_k=2 * run_len,
             tail="member",
         )
-        return [pallas_msort.unpermute_blocks(a) for a in arrays]
+        return [pallas_msort.unpermute_blocks(a, log_b) for a in arrays]
     return merge_levels(
         arrays, n_words, block_rows, fuse_bits, start_k=2 * run_len
     )

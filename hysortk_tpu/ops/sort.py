@@ -79,10 +79,12 @@ def sort_decision(n_items: int, n_operands: int, device=None) -> str:
 
     The reference chooses RADULS (out-of-place, faster) when the task fits
     in 90% of free memory per rank, else PARADIS (in-place)
-    (src/kmerops.cpp:1344-1379). Here the analogue: the XLA sort (fastest
-    measured) when its ~3x working set fits HBM headroom; otherwise the
-    Pallas bitonic whose phase B is block-wise in-place-capable and
-    tolerates tighter memory.
+    (src/kmerops.cpp:1344-1379). Here: the member-tile Pallas sort
+    (ops/pallas_msort.py) both tolerates tighter memory AND beats lax.sort
+    above the chip-measured crossover (2^26: 212.8 vs 251.8 ms; 2^24:
+    84.4 vs 82.9 — crossover sits between, 2^25 chosen conservatively);
+    below the crossover, or when headroom is unknown and the input is
+    small, lax.sort remains fastest.
     """
     from ..runtime import memcheck
 
@@ -90,7 +92,7 @@ def sort_decision(n_items: int, n_operands: int, device=None) -> str:
     headroom = memcheck.hbm_headroom_bytes(device)
     if headroom is not None and headroom < need:
         return "pallas"
-    return "xla"
+    return "pallas" if n_items >= (1 << 25) else "xla"
 
 
 def sort_marked(
@@ -99,6 +101,10 @@ def sort_marked(
     backend: str = "xla",
 ) -> tuple[jnp.ndarray, list[jnp.ndarray], list[jnp.ndarray]]:
     """Sort keys already carrying the all-ones invalid sentinel."""
+    assert backend in ("xla", "pallas"), (
+        f"unresolved backend {backend!r}: resolve 'auto' host-side first "
+        "(pipeline.resolved_cfg / resolve_backend)"
+    )
     n_words = len(marked)
     if backend == "pallas":
         from . import pallas_sort

@@ -82,19 +82,36 @@ def pack_sorted_ranges(
     Under range routing (ops/mixkey.py) the destination of a key is a
     monotone function of the sort order, so the local sort has ALREADY
     grouped destinations into contiguous segments; `offsets` (length S+1)
-    are their boundaries. No destination sort is needed — packing is a
-    dense gather of S contiguous ranges into the (S, capacity) send buffer.
+    are their boundaries. No destination sort is needed — packing is S
+    dynamic slices of `capacity` contiguous elements each.
+
+    Chip-measured (tools/bench_sharded_step.py, 2^26 x S=8): the earlier
+    (S, capacity) gather formulation lowers generically and costs 3.76 s;
+    the dynamic-slice form is 61 ms (~11 ms true) — 61x. Each array is
+    padded by `capacity` tail elements so no slice start ever clamps
+    (dynamic_slice clamps the START, which would shift — i.e. corrupt —
+    the carved segment; slots past each row's count are masked or never
+    read downstream, so the pad value itself is irrelevant).
 
     Returns (send_words, send_payloads, counts, overflow) like
     pack_by_destination.
     """
-    n = sorted_words[0].shape[0]
     counts = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
     overflow = jnp.any(counts > capacity)
-    slot_j = jax.lax.broadcasted_iota(jnp.int32, (num_shards, capacity), 1)
-    src = jnp.minimum(offsets[:-1][:, None] + slot_j, n - 1)
-    send_words = [w[src] for w in sorted_words]
-    send_payloads = [p[src] for p in sorted_payloads]
+    starts = offsets[:-1]
+
+    def carve(arr):
+        ap = jnp.concatenate(
+            [arr, jnp.full((capacity,), jnp.uint32(0xFFFFFFFF), arr.dtype)]
+        )
+        rows = [
+            jax.lax.dynamic_slice_in_dim(ap, starts[s], capacity)
+            for s in range(num_shards)
+        ]
+        return jnp.stack(rows)
+
+    send_words = [carve(w) for w in sorted_words]
+    send_payloads = [carve(p) for p in sorted_payloads]
     return send_words, send_payloads, counts, overflow
 
 
