@@ -79,16 +79,21 @@ def merge_sorted_runs(
     if jax.default_backend() == "tpu":
         from . import pallas_sort
 
-        block = 256 * pallas_sort.LANES
+        block = 512 * pallas_sort.LANES
         if run_len % block == 0:
+            # Member formulation: permuted-layout tie-free tails + the
+            # fused cross+tail pass (falls back to roll inside merge_runs
+            # when the block geometry doesn't fit the member map).
             return pallas_sort.merge_runs(
-                arrays, n_words, run_len, block_rows=256
+                arrays, n_words, run_len, block_rows=512,
+                formulation="member",
             )
         if run_len >= 8 * pallas_sort.LANES:
             rows = max(run_len // pallas_sort.LANES // 2, 8)
             if run_len % (rows * pallas_sort.LANES) == 0:
                 return pallas_sort.merge_runs(
-                    arrays, n_words, run_len, block_rows=rows
+                    arrays, n_words, run_len, block_rows=rows,
+                    formulation="member",
                 )
         out = jax.lax.sort(tuple(arrays), num_keys=n_words, is_stable=False)
         return list(out)

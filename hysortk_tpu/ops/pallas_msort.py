@@ -50,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_sort
-from .pallas_sort import LANES, _lex_less_leq, _roll
+from .pallas_sort import LANES, _lex_less, _lex_less_leq, _roll
 
 _FULL32 = np.uint32(0xFFFFFFFF)
 
@@ -102,32 +102,26 @@ def unpermute_blocks(a: jnp.ndarray, log_b: int = LOG_B) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _lex_less(a_words, b_words):
-    """Elementwise strict lexicographic a < b over word lists."""
-    less = jnp.zeros(a_words[0].shape, dtype=jnp.bool_)
-    eq = jnp.ones(a_words[0].shape, dtype=jnp.bool_)
-    for aw, bw in zip(a_words, b_words):
-        less = less | (eq & (aw < bw))
-        eq = eq & (aw == bw)
-    return less
-
-
 def _pair_cex(los, his, n_words, take_min_lo):
     """Compare-exchange between two member tiles (lo has stride bit 0).
 
     take_min_lo may be a python bool (fully static direction — minimal op
     count), a traced scalar bool, or an (8, 128) mask; all broadcast.
+
+    Ties swap as whole pairs: the sort is unstable (like lax.sort
+    is_stable=False and the reference's radix sorts on full records), so
+    exchanging an equal-key pair — keys AND payloads together — is an
+    equally valid order. Treating ties as "greater" deletes the whole
+    equality chain (~6 vector ops) from every compare-exchange.
     """
     if take_min_lo is True:
         swap = _lex_less(his[:n_words], los[:n_words])
     elif take_min_lo is False:
         swap = _lex_less(los[:n_words], his[:n_words])
     else:
-        # swap = tm ? (hi<lo) : (hi>lo), in xor form (Mosaic has no
-        # select-of-booleans): with eqm = less^leq the equality mask,
-        # tm?less:~leq == less ^ ~(tm|eqm).
-        less, leq = _lex_less_leq(his[:n_words], los[:n_words])
-        swap = less ^ ~(take_min_lo | (less ^ leq))
+        # swap = tm ? (hi<lo) : ~(hi<lo), xor form (no select-of-booleans).
+        less = _lex_less(his[:n_words], los[:n_words])
+        swap = ~(less ^ take_min_lo)
     new_los = [jnp.where(swap, h, l) for l, h in zip(los, his)]
     new_his = [jnp.where(swap, l, h) for l, h in zip(los, his)]
     return new_los, new_his
@@ -143,14 +137,27 @@ def _partner2(x: jnp.ndarray, axis: int, q: int) -> jnp.ndarray:
     return jnp.where(bit, _roll(x, q, axis), _roll(x, -q, axis))
 
 
-def _roll_cex(tiles, n_words, axis, q, take_min):
+def _roll_cex(tiles, n_words, axis, q, take_min, exact_ties):
     """Compare-exchange within one member tile at roll distance q.
 
-    swap = tm ? (x>p) : (x<p); xor form: less ^ (tm & ~eqm).
+    exact_ties=False (key-only sorts, the hot path): ties count as
+    "greater" — swap = tm ? ~(x<p) : (x<p) = less ^ tm, one xor instead
+    of the whole equality chain. The per-position masks of a tied pair
+    disagree then (tm flips across the pair), but both slots hold equal
+    VALUES, so either resolution writes the same words — safe exactly
+    when every operand is a key word.
+
+    exact_ties=True (payloads ride): tied pairs must make one CONSISTENT
+    exchange decision or payloads duplicate/vanish; keep ties unswapped
+    via the strict leq chain: swap = less ^ (tm & ~eqm).
     """
     partners = [_partner2(t, axis, q) for t in tiles]
-    less, leq = _lex_less_leq(tiles[:n_words], partners[:n_words])
-    swap = less ^ (take_min & ~(less ^ leq))
+    if exact_ties:
+        less, leq = _lex_less_leq(tiles[:n_words], partners[:n_words])
+        swap = less ^ (take_min & ~(less ^ leq))
+    else:
+        less = _lex_less(tiles[:n_words], partners[:n_words])
+        swap = less ^ take_min
     return [jnp.where(swap, p, t) for t, p in zip(tiles, partners)]
 
 
@@ -195,9 +202,10 @@ def _stage(mem, n_arrays, n_words, mb, log_b, s, bit_k, k_bit):
         axis, q = 0, 1 << (s - mb)
     else:
         axis, q = 1, 1 << (s - mb - 3)
+    exact_ties = n_arrays > n_words  # payloads ride: ties must not swap
     for m in range(n_members):
         tiles = [mem[x][m] for x in range(n_arrays)]
-        out = _roll_cex(tiles, n_words, axis, q, take_min)
+        out = _roll_cex(tiles, n_words, axis, q, take_min, exact_ties)
         for x in range(n_arrays):
             mem[x][m] = out[x]
     return mem
@@ -336,9 +344,11 @@ def _cross_tail_member_kernel(
                 pb = b | (1 << bitpos)
                 lo_w = [vals[x][b] for x in range(n_arrays)]
                 hi_w = [vals[x][pb] for x in range(n_arrays)]
-                less, leq = _lex_less_leq(hi_w[:n_words], lo_w[:n_words])
+                # Paired (one mask, both slots): tie-swap is consistent,
+                # so ties-as-greater is safe even with payloads.
+                less = _lex_less(hi_w[:n_words], lo_w[:n_words])
                 take_min = ((beta_of(b) >> k_blockbit) & 1) == 0
-                swap = less ^ ~(take_min | (less ^ leq))
+                swap = ~(less ^ take_min)
                 for x in range(n_arrays):
                     new_lo = jnp.where(swap, hi_w[x], lo_w[x])
                     new_hi = jnp.where(swap, lo_w[x], hi_w[x])

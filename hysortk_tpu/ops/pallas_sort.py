@@ -81,6 +81,19 @@ def _lex_less_eq(a_words, b_words):
     return less, eq
 
 
+def _lex_less(a_words, b_words):
+    """Elementwise strict lexicographic a < b over word lists."""
+    less = a_words[0] < b_words[0]
+    if len(a_words) == 1:
+        return less
+    eq = a_words[0] == b_words[0]
+    for aw, bw in zip(a_words[1:-1], b_words[1:-1]):
+        less = less | (eq & (aw < bw))
+        eq = eq & (aw == bw)
+    less = less | (eq & (a_words[-1] < b_words[-1]))
+    return less
+
+
 def _lex_less_leq(a_words, b_words):
     """Elementwise lexicographic (a < b, a <= b) over word lists.
 
@@ -236,13 +249,15 @@ def _cross_kernel(n_arrays: int, n_words: int, block_rows: int, f: int):
                 pm = m | (1 << bitpos)
                 lo_w = [vals[x][m] for x in range(n_arrays)]
                 hi_w = [vals[x][pm] for x in range(n_arrays)]
-                less, leq = _lex_less_leq(hi_w[:n_words], lo_w[:n_words])
                 # take_min for the lower member iff the region bit is 0;
                 # that bit is outside the member bits, so it is uniform
-                # across the group members of this pair. swap = tm ? (hi<lo)
-                # : (hi>lo) in xor form (no select-of-booleans on Mosaic).
+                # across the group members of this pair. Paired exchange
+                # (one mask drives both slots): ties-as-greater is
+                # consistent and safe with payloads. swap = tm ? (hi<lo)
+                # : ~(hi<lo), xor form (no select-of-booleans on Mosaic).
+                less = _lex_less(hi_w[:n_words], lo_w[:n_words])
                 take_min = ((beta_of(m) >> k_blockbit) & 1) == 0
-                swap = less ^ ~(take_min | (less ^ leq))
+                swap = ~(less ^ take_min)
                 for x in range(n_arrays):
                     new_lo = jnp.where(swap, hi_w[x], lo_w[x])
                     new_hi = jnp.where(swap, lo_w[x], hi_w[x])

@@ -81,10 +81,10 @@ def sort_decision(n_items: int, n_operands: int, device=None) -> str:
     in 90% of free memory per rank, else PARADIS (in-place)
     (src/kmerops.cpp:1344-1379). Here: the member-tile Pallas sort
     (ops/pallas_msort.py) both tolerates tighter memory AND beats lax.sort
-    above the chip-measured crossover (2^26: 212.8 vs 251.8 ms; 2^24:
-    84.4 vs 82.9 — crossover sits between, 2^25 chosen conservatively);
-    below the crossover, or when headroom is unknown and the input is
-    small, lax.sort remains fastest.
+    at every measured large scale (chip, 2-word keys, ties-free v4:
+    2^26: 166.2 vs 230.6 ms; 2^24: 75.9 vs 85.1 — 1.56x/1.35x incl the
+    fixed ~50 ms sync each). Below ~2^23 the Pallas launch overheads
+    (one pallas_call per merge pass) favor lax.sort.
     """
     from ..runtime import memcheck
 
@@ -92,7 +92,7 @@ def sort_decision(n_items: int, n_operands: int, device=None) -> str:
     headroom = memcheck.hbm_headroom_bytes(device)
     if headroom is not None and headroom < need:
         return "pallas"
-    return "pallas" if n_items >= (1 << 25) else "xla"
+    return "pallas" if n_items >= (1 << 23) else "xla"
 
 
 def sort_marked(

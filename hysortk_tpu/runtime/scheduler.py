@@ -147,10 +147,7 @@ def count_reads_streaming(
     batch_bases, not by the input size.
     """
     from ..io import fasta as fasta_io
-    from ..ops import count as count_ops
-    from ..ops import sort as sort_ops
     from ..pipeline import resolved_cfg
-    import functools
 
     cfg = resolved_cfg(cfg, batch_bases)
     partial_keys: list[np.ndarray] = []
@@ -196,24 +193,24 @@ def count_reads_streaming(
             np.zeros(cfg.upper + 1, np.int32),
         )
 
-    # Each partial list is already ascending (compacted from sorted device
-    # output), so the final pass MERGES the runs instead of re-sorting the
-    # concatenation — entering the bitonic network at region 2L
-    # (ops/merge.py; measured 1.46-1.67x faster than a re-sort on chip).
-    # Runs are sentinel-padded to a common pow2 length; the all-ones key is
-    # unreachable (ops/sort.py) and sorts strictly last.
-    from ..ops import merge as merge_ops
-
-    next_pow2 = lambda x: 1 << max(int(x) - 1, 0).bit_length()
-    run_len = next_pow2(max(max(p.shape[0] for p in partial_keys), 1))
-    n_runs = next_pow2(len(partial_keys))
-    all_keys = np.full(
-        (n_runs, run_len, cfg.words), 0xFFFFFFFF, dtype=np.uint32
+    keys_np, cnts_np = merge_partial_lists(
+        partial_keys, partial_cnts, cfg,
+        budget_elems=4 * snap_batch_to_pow2_flat(batch_bases, cfg.pad_multiple),
     )
-    all_cnts = np.zeros((n_runs, run_len), dtype=np.uint32)
-    for i, (pk, pc) in enumerate(zip(partial_keys, partial_cnts)):
-        all_keys[i, : pk.shape[0]] = pk
-        all_cnts[i, : pc.shape[0]] = pc
+    from ..pipeline import host_histogram
+
+    result = KmerList(keys_np, cnts_np, cfg.k)
+    return result, host_histogram(result.counts, cfg.upper)
+
+
+def _merge_chunk_jit():
+    """The shared device merge of padded sorted runs (one compile per
+    (words, run_len, n_runs, L, U) shape class)."""
+    import functools
+
+    from ..ops import count as count_ops
+    from ..ops import merge as merge_ops
+    from ..ops import sort as sort_ops
 
     @functools.partial(
         jax.jit, static_argnames=("words", "lower", "upper", "run_len")
@@ -231,20 +228,112 @@ def count_reads_streaming(
         keep = count_ops.frequency_filter(head, total, lower, upper)
         return tuple(words_s), total, keep
 
-    keys_s, total, keep = merge(
-        jnp.asarray(all_keys),
-        jnp.asarray(all_cnts),
-        words=cfg.words,
-        lower=cfg.lower,
-        upper=cfg.upper,
-        run_len=run_len,
-    )
-    from ..pipeline import host_histogram
+    return merge
 
-    keep_np = np.asarray(keep)
-    from ..pipeline import compact_keys
 
-    result = KmerList(
-        compact_keys(keys_s, keep_np), np.asarray(total)[keep_np], cfg.k
+def merge_partial_lists(
+    partial_keys: list[np.ndarray],
+    partial_cnts: list[np.ndarray],
+    cfg: KmerConfig,
+    budget_elems: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge ascending (keys, partial_count) lists with bounded HBM.
+
+    Each partial is already sorted (compacted device output), so the device
+    pass MERGES runs instead of re-sorting (ops/merge.py; 1.46-1.67x faster
+    on chip). When the padded composition exceeds `budget_elems` total
+    elements — a distinct-heavy stream can make the union as large as the
+    input, far over HBM — the merge runs in KEY-RANGE CHUNKS: boundaries on
+    the leading key word are chosen so every chunk fits the budget, each
+    partial contributes a contiguous slice per chunk (host searchsorted),
+    chunks share ONE jit shape, and the filtered outputs concatenate in
+    range order. The reference's memory bound comes from its fixed-size
+    exchange rounds (src/kmerops.cpp:587-1007); chunked merging is the
+    analogue on the result side (count_sorted_kmerlist, :1447-1476).
+    """
+    next_pow2 = lambda x: 1 << max(int(x) - 1, 0).bit_length()
+    n_runs = next_pow2(len(partial_keys))
+    run_len_1 = next_pow2(max(max(p.shape[0] for p in partial_keys), 1))
+    merge = _merge_chunk_jit()
+
+    def run_merge(chunk_keys, chunk_cnts, run_len):
+        all_keys = np.full(
+            (n_runs, run_len, cfg.words), 0xFFFFFFFF, dtype=np.uint32
+        )
+        all_cnts = np.zeros((n_runs, run_len), dtype=np.uint32)
+        for i, (pk, pc) in enumerate(zip(chunk_keys, chunk_cnts)):
+            all_keys[i, : pk.shape[0]] = pk
+            all_cnts[i, : pc.shape[0]] = pc
+        keys_s, total, keep = merge(
+            jnp.asarray(all_keys),
+            jnp.asarray(all_cnts),
+            words=cfg.words,
+            lower=cfg.lower,
+            upper=cfg.upper,
+            run_len=run_len,
+        )
+        from ..pipeline import compact_keys
+
+        keep_np = np.asarray(keep)
+        return (
+            compact_keys(keys_s, keep_np),
+            np.asarray(total)[keep_np].astype(np.int32),
+        )
+
+    if n_runs * run_len_1 <= max(budget_elems, 1 << 20):
+        return run_merge(partial_keys, partial_cnts, run_len_1)
+
+    # Chunked path: oversampled uniform edges on the leading word, grouped
+    # greedily so each chunk's padded size fits the budget.
+    total = sum(p.shape[0] for p in partial_keys)
+    n_chunks_min = -(-total // max(budget_elems // 2, 1))
+    s = 8 * next_pow2(n_chunks_min)
+    edges = (np.arange(1, s, dtype=np.uint64) * (1 << 32) // s).astype(
+        np.uint32
     )
-    return result, host_histogram(result.counts, cfg.upper)
+    offs = [
+        np.concatenate(
+            [
+                [0],
+                np.searchsorted(pk[:, 0], edges, side="left"),
+                [pk.shape[0]],
+            ]
+        ).astype(np.int64)
+        for pk in partial_keys
+    ]
+    interval_sizes = np.sum(
+        [o[1:] - o[:-1] for o in offs], axis=0
+    )  # (s,) totals
+    # Greedy grouping of consecutive intervals under the element budget.
+    groups: list[tuple[int, int]] = []
+    lo = 0
+    acc = 0
+    for idx in range(s):
+        if acc and acc + interval_sizes[idx] > budget_elems // 2:
+            groups.append((lo, idx))
+            lo, acc = idx, 0
+        acc += int(interval_sizes[idx])
+    groups.append((lo, s))
+    # One jit shape for every chunk: pad to the global max slice length.
+    run_len = next_pow2(
+        max(
+            int(np.max([o[b] - o[a] for o in offs]))
+            for a, b in groups
+        )
+        or 1
+    )
+    out_keys, out_cnts = [], []
+    for a, b in groups:
+        ck = [pk[o[a] : o[b]] for pk, o in zip(partial_keys, offs)]
+        cc = [pc[o[a] : o[b]] for pc, o in zip(partial_cnts, offs)]
+        if not any(x.shape[0] for x in ck):
+            continue
+        k_np, c_np = run_merge(ck, cc, run_len)
+        out_keys.append(k_np)
+        out_cnts.append(c_np)
+    if not out_keys:
+        return (
+            np.zeros((0, cfg.words), np.uint32),
+            np.zeros(0, np.int32),
+        )
+    return np.concatenate(out_keys), np.concatenate(out_cnts)

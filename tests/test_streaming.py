@@ -216,3 +216,36 @@ def test_multihost_ext_streaming_single_process(tmp_path):
     )
     assert _ext_dict(st) == _ext_dict(one)
     assert np.array_equal(st_hist, one_hist)
+
+
+def test_chunked_partial_merge_equals_single_shot():
+    """merge_partial_lists under a tiny element budget (forcing the
+    key-range chunked device merges) must equal the unbounded merge."""
+    from hysortk_tpu.runtime.scheduler import merge_partial_lists
+
+    rng = np.random.default_rng(91)
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=65535, pad_multiple=128)
+    parts_k, parts_c = [], []
+    for _ in range(5):
+        n = int(rng.integers(200, 600))
+        keys = rng.integers(0, 1 << 32, size=(n, 2), dtype=np.uint32)
+        # distinct within a partial (compacted device output invariant)
+        keys = np.unique(keys, axis=0)  # also sorts lexicographically
+        parts_k.append(keys)
+        parts_c.append(
+            rng.integers(1, 5, size=keys.shape[0]).astype(np.int32)
+        )
+
+    big_k, big_c = merge_partial_lists(parts_k, parts_c, cfg, 1 << 30)
+    # budget below the padded single-shot size forces >= 2 chunks
+    small_k, small_c = merge_partial_lists(parts_k, parts_c, cfg, 1024)
+    assert np.array_equal(big_k, small_k)
+    assert np.array_equal(big_c, small_c)
+
+    # oracle: dict-summed totals
+    acc = {}
+    for pk, pc in zip(parts_k, parts_c):
+        for row, c in zip(pk, pc):
+            acc[tuple(row)] = acc.get(tuple(row), 0) + int(c)
+    got = {tuple(r): int(c) for r, c in zip(big_k, big_c)}
+    assert got == acc

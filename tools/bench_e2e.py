@@ -35,13 +35,21 @@ PART = "/tmp/e2e_parts.json"
 K, M, L, U = 31, 17, 2, 50
 
 
-def gen(total_bases: int, read_len: int = 1024, seed: int = 11) -> None:
+def gen(total_bases: int, read_len: int = 1024, seed: int = 11,
+        coverage: int = 8) -> None:
+    """Reads sampled as random windows of a synthetic genome at ~`coverage`x
+    depth — the workload shape real sequencing data has (most k-mers occur
+    ~coverage times, which the [L,U] filter is FOR; an all-distinct random
+    FASTA makes the filter drop everything and the distinct-key set as large
+    as the input)."""
     rng = np.random.default_rng(seed)
     n_reads = total_bases // read_len
+    genome_len = max(total_bases // coverage, read_len + 1)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    reads = bases[rng.integers(0, 4, size=(n_reads, read_len))]
-    ndup = max(n_reads // 12, 1)
-    reads[-ndup:] = reads[:ndup]
+    genome = bases[rng.integers(0, 4, size=genome_len)]
+    starts = rng.integers(0, genome_len - read_len, size=n_reads)
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    reads = genome[idx]
     nl = np.full((n_reads, 1), ord("\n"), dtype=np.uint8)
     payload = np.concatenate([reads, nl], axis=1)
     with open(FASTA, "wb") as f:
@@ -49,7 +57,8 @@ def gen(total_bases: int, read_len: int = 1024, seed: int = 11) -> None:
             f.write(b">r%d\n" % i)
             f.write(payload[i].tobytes())
     print(f"wrote {FASTA}: {n_reads} reads x {read_len} b "
-          f"({total_bases/1e6:.0f} Mb)")
+          f"({total_bases/1e6:.0f} Mb, ~{coverage}x coverage of a "
+          f"{genome_len/1e6:.0f} Mb genome)")
 
 
 def run_ref() -> None:
@@ -97,7 +106,8 @@ def run_tpu(stream: int) -> None:
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
     args = [sys.executable, "-m", "hysortk_tpu.cli", FASTA, outdir,
             "-k", str(K), "-m", str(M), "-l", str(L), "-u", str(U),
-            "--fuse-keybuild", "--fuse-count", "--single-device"]
+            "--fuse-keybuild", "--fuse-count", "--sort", "auto",
+            "--single-device"]
     if stream:
         args += ["--stream-batch-bases", str(stream)]
     t0 = time.perf_counter()
@@ -162,7 +172,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("phase", choices=("gen", "ref", "tpu", "report"))
     ap.add_argument("--bases", type=int, default=512 * 1024 * 1024)
-    ap.add_argument("--stream", type=int, default=128 * 1024 * 1024)
+    # Default snaps the per-batch flat device size onto exactly 2^26 (the
+    # pow2 sort cliff + the kernel shapes bench.py already compiled).
+    ap.add_argument("--stream", type=int, default=(1 << 26) - 8192)
     a = ap.parse_args()
     if a.phase == "gen":
         gen(a.bases)
