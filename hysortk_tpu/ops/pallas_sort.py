@@ -430,6 +430,26 @@ def merge_levels(
 # ---------------------------------------------------------------------------
 
 
+# Scratch-byte budget for the fused cross kernel (2^f blocks per array held
+# in VMEM scratch). The compiler's scoped-vmem footprint is ~2.3-2.7x the
+# scratch bytes (measured on chip: 8.4 MiB scratch -> 19.2 MiB scoped;
+# 6.3 MiB scratch, 3 arrays, member path -> 17.04 MiB scoped > the 16 MiB
+# limit), so scratch must stay at or below ~5.5 MiB. 5 MiB keeps the
+# known-good 2-array 512-row config at f=3 (4.2 MiB) and drops 3-array
+# merges (keys + count payload) to f=2 (3.1 MiB).
+_CROSS_SCRATCH_BUDGET = 5 * 1024 * 1024
+
+
+def cap_fuse_bits(fuse_bits: int, block: int, n_arrays: int) -> int:
+    """Largest fuse width whose cross-kernel scratch fits scoped VMEM."""
+    while (
+        fuse_bits > 1
+        and (1 << fuse_bits) * block * 4 * n_arrays > _CROSS_SCRATCH_BUDGET
+    ):
+        fuse_bits -= 1
+    return fuse_bits
+
+
 def sort_words(
     words: Sequence[jnp.ndarray],
     payloads: Sequence[jnp.ndarray] = (),
@@ -478,16 +498,7 @@ def sort_words(
             for a in arrays
         ]
 
-    # Cap the fuse width so the cross-kernel scratch (2^f blocks per array)
-    # stays within a conservative VMEM budget (measured: an 8.4 MiB scratch
-    # config lands at 19.2 MiB scoped vmem > the 16 MiB limit; 7 MiB keeps
-    # the known-good configs and rejects the OOM ones).
-    budget = 7 * 1024 * 1024
-    while (
-        fuse_bits > 1
-        and (1 << fuse_bits) * block_rows * LANES * 4 * len(arrays) > budget
-    ):
-        fuse_bits -= 1
+    fuse_bits = cap_fuse_bits(fuse_bits, block, len(arrays))
 
     log_b = int(block).bit_length() - 1
     if formulation == "member" and (
@@ -543,13 +554,7 @@ def merge_runs(
 
     arrays = flip_odd_runs(arrays, s, run_len)
 
-    # VMEM budget for the cross kernel (see sort_words).
-    budget = 7 * 1024 * 1024
-    while (
-        fuse_bits > 1
-        and (1 << fuse_bits) * block * 4 * len(arrays) > budget
-    ):
-        fuse_bits -= 1
+    fuse_bits = cap_fuse_bits(fuse_bits, block, len(arrays))
     log_b = int(block).bit_length() - 1
     if formulation == "member" and block & (block - 1) == 0 and log_b >= 11:
         from . import pallas_msort

@@ -150,3 +150,17 @@ def test_merge_runs_pallas():
                      np.asarray(mp).tolist()))
     exp = sorted(zip(w0.tolist(), w1.tolist(), pay.tolist()))
     assert got == exp
+
+
+def test_cap_fuse_bits_scoped_vmem_budget():
+    """Chip-measured scoped-vmem is ~2.3-2.7x the cross-kernel scratch; the
+    cap must keep the 2-array 512-row production config at f=3 while
+    dropping 3-array merges (keys + count) below the geometry that OOMed
+    scoped VMEM on hardware (f=3, 512 rows, 3 arrays -> 17.04 MiB)."""
+    block = 512 * pallas_sort.LANES
+    assert pallas_sort.cap_fuse_bits(4, block, 2) == 3
+    assert pallas_sort.cap_fuse_bits(4, block, 3) == 2
+    # Small geometries keep the requested width.
+    assert pallas_sort.cap_fuse_bits(4, 16 * pallas_sort.LANES, 3) == 4
+    # Never below 1 even when a single block pair exceeds the budget.
+    assert pallas_sort.cap_fuse_bits(4, 4096 * pallas_sort.LANES, 8) == 1
