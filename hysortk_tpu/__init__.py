@@ -53,6 +53,7 @@ __all__ = [
     "count_fasta_multihost_ext",
     "count_fasta_multihost_streaming",
     "count_fasta_multihost_ext_streaming",
+    "count_reads_supermer",
 ]
 
 
@@ -68,6 +69,10 @@ def __getattr__(name):
         from .parallel import pipeline as _pp
 
         return getattr(_pp, name)
+    if name == "count_reads_supermer":
+        from .parallel import supermer_route as _sr
+
+        return _sr.count_reads_supermer
     if name in (
         "count_fasta_multihost",
         "count_fasta_multihost_ext",

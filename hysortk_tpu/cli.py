@@ -35,12 +35,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sort", choices=("xla", "pallas", "auto"), default="xla",
                    help="device sort backend (auto: pick from HBM headroom, "
                         "like the reference's runtime sort_decision)")
-    p.add_argument("--routing", choices=("range", "kmer_hash", "minimizer"),
+    p.add_argument("--routing",
+                   choices=("range", "kmer_hash", "minimizer", "supermer"),
                    default="range",
                    help="multi-device destination rule: range = sort-once "
                         "range partition in mixed key space (default); "
                         "minimizer = the reference's virtual-task scheme + "
-                        "balanced dispatch; kmer_hash = legacy hash-mod")
+                        "balanced dispatch; supermer = host-side supermer "
+                        "dispatch (~2 bit/base wire, no device exchange); "
+                        "kmer_hash = legacy hash-mod")
     p.add_argument("--classifier", choices=("heavy_hitter", "plain"),
                    default="heavy_hitter",
                    help="heavy_hitter: measurement pass pre-sizes exchange "
@@ -96,6 +99,15 @@ def main(argv=None) -> int:
         classifier=args.classifier, dispatcher=args.dispatcher,
         fuse_keybuild=args.fuse_keybuild, fuse_count=args.fuse_count,
     )
+
+    if cfg.routing == "supermer" and (
+        args.stream_batch_bases or args.coordinator or args.single_device
+    ):
+        p.error(
+            "--routing supermer is the single-step sharded dispatch path; "
+            "it does not combine with --stream-batch-bases, --coordinator "
+            "or --single-device (use the default range routing there)"
+        )
 
     if args.coordinator:
         from .parallel.multihost import initialize_distributed

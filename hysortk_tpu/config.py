@@ -61,6 +61,12 @@ class KmerConfig:
     #               minimizer hash % (shards * avg_buckets_per_shard) with
     #               bucket->shard placement from the balanced dispatcher
     #               (reference src/kmerops.cpp:1044-1047, 1274-1327).
+    #   "supermer"  — the reference's exchange architecture end-to-end:
+    #               host-side minimizer dispatch ships per-shard supermer
+    #               run streams (lengths + 2-bit bases, ~0.28 B/base) over
+    #               the wire and each shard counts locally with NO device
+    #               all_to_all (parallel/supermer_route.py; reference
+    #               src/kmerops.cpp:1096-1148, 587-643).
     routing: str = "range"
     avg_buckets_per_shard: int = 3
     heavy_ratio: float = 2.3
@@ -123,8 +129,13 @@ class KmerConfig:
             )
         if self.sort_backend not in ("xla", "pallas", "auto"):
             raise ValueError(f"unknown sort backend {self.sort_backend!r}")
-        if self.routing not in ("range", "kmer_hash", "minimizer"):
+        if self.routing not in ("range", "kmer_hash", "minimizer", "supermer"):
             raise ValueError(f"unknown routing {self.routing!r}")
+        if self.extension and self.routing == "supermer":
+            raise ValueError(
+                "extension mode is not supported under supermer routing; "
+                "use routing='range'"
+            )
         if self.classifier not in ("heavy_hitter", "plain"):
             raise ValueError(f"unknown classifier {self.classifier!r}")
         if self.dispatcher not in ("balanced", "round_robin"):

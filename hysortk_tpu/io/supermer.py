@@ -47,6 +47,43 @@ class SupermerBatch:
         return int(self.lengths.nbytes + self.payload.nbytes)
 
 
+def run_boundaries(
+    valid: np.ndarray, dest: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Supermer run decomposition of the flat k-mer stream.
+
+    A run is a maximal stretch of consecutive valid k-mers sharing a
+    destination, capped at MAX_SUPERMER_LEN bases (the reference's
+    SupermerEncoder boundary rule, src/kmerops.cpp:1096-1148). Returns
+    (run_start_flat, run_bases, run_dest); dest is only read where valid.
+    """
+    valid = valid.astype(bool)
+    idx = np.flatnonzero(valid)
+    empty = np.zeros(0, np.int64)
+    if idx.size == 0:
+        return empty, empty, empty
+
+    d = dest[idx].astype(np.int64)
+    # A new run starts when: first valid kmer, non-adjacent flat position
+    # (read boundary / gap), destination change, or run-length cap.
+    gap = np.empty(idx.size, dtype=bool)
+    gap[0] = True
+    gap[1:] = (idx[1:] != idx[:-1] + 1) | (d[1:] != d[:-1])
+    # Apply the 250-base cap within runs: a run of R kmers spans R+k-1 bases.
+    max_kmers = MAX_SUPERMER_LEN - k + 1
+    pos_in_run = np.arange(idx.size) - np.maximum.accumulate(
+        np.where(gap, np.arange(idx.size), 0)
+    )
+    gap = gap | (pos_in_run % max_kmers == 0) & (pos_in_run > 0)
+
+    starts = np.flatnonzero(gap)
+    run_kmers = np.diff(np.concatenate([starts, [idx.size]]))
+    run_start_flat = idx[starts]
+    run_dest = d[starts]
+    run_bases = run_kmers + k - 1
+    return run_start_flat, run_bases, run_dest
+
+
 def encode_supermers(
     codes: np.ndarray,
     valid: np.ndarray,
@@ -59,38 +96,12 @@ def encode_supermers(
     codes/valid/dest are the flat arrays (dest only meaningful where valid).
     Returns one SupermerBatch per destination bucket.
     """
-    n = codes.shape[0]
-    valid = valid.astype(bool)
-    idx = np.flatnonzero(valid)
-    if idx.size == 0:
-        empty = [
-            SupermerBatch(
-                np.zeros(0, np.uint32), np.zeros(0, np.uint8)
-            )
+    run_start_flat, run_bases, run_dest = run_boundaries(valid, dest, k)
+    if run_start_flat.size == 0:
+        return [
+            SupermerBatch(np.zeros(0, np.uint32), np.zeros(0, np.uint8))
             for _ in range(num_buckets)
         ]
-        return empty
-
-    d = dest[idx].astype(np.int64)
-    # A new run starts when: first valid kmer, non-adjacent flat position
-    # (read boundary / gap), destination change, or run-length cap.
-    gap = np.empty(idx.size, dtype=bool)
-    gap[0] = True
-    gap[1:] = (idx[1:] != idx[:-1] + 1) | (d[1:] != d[:-1])
-    # Apply the 250-base cap within runs: a run of R kmers spans R+k-1 bases.
-    max_kmers = MAX_SUPERMER_LEN - k + 1
-    run_id = np.cumsum(gap) - 1
-    pos_in_run = np.arange(idx.size) - np.maximum.accumulate(
-        np.where(gap, np.arange(idx.size), 0)
-    )
-    gap = gap | (pos_in_run % max_kmers == 0) & (pos_in_run > 0)
-    run_id = np.cumsum(gap) - 1
-
-    starts = np.flatnonzero(gap)
-    run_kmers = np.diff(np.concatenate([starts, [idx.size]]))
-    run_start_flat = idx[starts]
-    run_dest = d[starts]
-    run_bases = run_kmers + k - 1
 
     batches = []
     for b in range(num_buckets):
@@ -99,6 +110,40 @@ def encode_supermers(
             _pack_runs(codes, run_start_flat[sel], run_bases[sel])
         )
     return batches
+
+
+def encode_supermer_streams(
+    codes: np.ndarray,
+    valid: np.ndarray,
+    dest: np.ndarray,
+    k: int,
+    num_buckets: int,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Per-destination supermer run streams for the device wire.
+
+    Same run decomposition as encode_supermers, but each bucket's payload
+    stays as the flat concatenation of its supermers' base codes (the 2-bit
+    packing happens once at the wire, pack_codes_2bit) split by a lengths
+    array — the shape ops/wire.decode_block consumes, where every supermer
+    plays the role of a short read. Returns [(codes int8, lengths uint32)]
+    per bucket. Wire density = lengths bytes + bases/4, the reference's
+    supermer exchange format (src/kmerops.cpp:1096-1148).
+    """
+    run_start_flat, run_bases, run_dest = run_boundaries(valid, dest, k)
+    out = []
+    for b in range(num_buckets):
+        sel = np.flatnonzero(run_dest == b)
+        st = run_start_flat[sel]
+        ln = run_bases[sel]
+        total = int(ln.sum())
+        if total == 0:
+            out.append((np.zeros(0, np.int8), np.zeros(0, np.uint32)))
+            continue
+        sup = np.repeat(np.arange(ln.size, dtype=np.int64), ln)
+        off = np.concatenate([[0], np.cumsum(ln)[:-1]])
+        idx = st[sup] + (np.arange(total, dtype=np.int64) - off[sup])
+        out.append((codes[idx].astype(np.int8), ln.astype(np.uint32)))
+    return out
 
 
 def _pack_runs(

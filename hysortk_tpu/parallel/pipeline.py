@@ -679,6 +679,10 @@ def count_reads_sharded(
     mesh: Optional[Mesh] = None,
 ) -> tuple[KmerList, np.ndarray]:
     mesh = mesh or make_mesh()
+    if cfg.routing == "supermer":
+        from . import supermer_route
+
+        return supermer_route.count_reads_supermer(codes, lengths, cfg, mesh)
     if cfg.routing == "range" and not cfg.combiner:
         # Feed devices over the 2-bit packed wire (~2 bits/base + 4 B/read
         # instead of 9 bits/base); falls through to the unpacked flow when

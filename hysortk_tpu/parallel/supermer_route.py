@@ -1,0 +1,203 @@
+"""Supermer-routed sharded pipeline: the reference's exchange architecture.
+
+The reference never moves raw k-mer keys between ranks — it routes
+*supermers* (maximal runs of consecutive k-mers sharing a minimizer bucket,
+shipped as a lengths array + 2-bit packed bases, ~0.28 B/base) and each rank
+extracts + counts the k-mers it received locally (prepare_supermer
+src/kmerops.cpp:23-127, SupermerEncoder :1096-1148, exchange :587-643,
+receive-side parse :484-521). This module is the TPU-native form of that
+architecture: the host computes per-k-mer destinations with the minimizer
+scan (on the CPU backend of the SAME jitted scan the device pipelines use),
+encodes per-shard supermer run streams (io/supermer.encode_supermer_streams),
+and feeds every shard ONLY its own buckets' supermers over the 2-bit wire —
+so the device step needs NO all_to_all at all: each shard decodes, sorts and
+counts locally, and the per-shard result sets are disjoint by construction
+(equal canonical k-mers share their minimizer, hence their bucket and shard).
+
+When to use it: the wire here IS the reference's DCN format (~2 bits/base +
+4 B/supermer). Over ICI the range pipeline's key exchange is faster (see
+docs/dcn_wire.md); over a host hop — feeding remote shards from a reader
+process, spill/restore, cross-host dispatch — this path moves ~10x fewer
+bytes per k-mer than packed keys.
+
+Load balance mirrors the reference: buckets = shards * avg_buckets_per_shard
+virtual tasks, placed by the balanced dispatcher from exact host-side bucket
+sizes (BalancedDispatcher, src/kmerops.cpp:1274-1327). Capacity needs no
+guessing and no retry: every shard's exact base/supermer totals are known
+before the device step is traced.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import KmerConfig
+from ..ops import kmer as kmer_ops, sort as sort_ops
+from .mesh import SHARD_AXIS, make_mesh
+from .pipeline import _count_merged
+
+__all__ = ["count_reads_supermer", "host_destinations", "wire_nbytes"]
+
+
+def host_destinations(
+    codes: np.ndarray, k: int, m: int, num_buckets: int
+) -> np.ndarray:
+    """Per-k-mer destination buckets, computed host-side on the CPU backend.
+
+    Runs the SAME jitted minimizer scan the device pipelines use
+    (ops/minimizer.kmer_destinations) — one implementation of the routing
+    rule, two execution targets. XLA:CPU vectorizes the scan (elementwise
+    mixes + log2(window) min-rolls) at memory bandwidth, standing in for
+    the reference's OpenMP FindKmerDestinationsParallel
+    (src/kmerops.cpp:1010-1041).
+    """
+    from ..ops import minimizer as minimizer_ops
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        dest = jax.jit(
+            minimizer_ops.kmer_destinations, static_argnums=(1, 2, 3)
+        )(jnp.asarray(codes, dtype=jnp.int32), k, m, num_buckets)
+        return np.asarray(jax.device_get(dest))
+
+
+def _pack_streams(
+    streams: list[tuple[np.ndarray, np.ndarray]],
+    pad_multiple: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-shard (codes, lengths) streams -> wire arrays of one common shape.
+
+    Returns (packed (S*block_len/16,) uint32, lengths2d (S, lmax) int32,
+    block_len). Same wire layout as pipeline.distribute_reads_packed; the
+    +16 tail keeps the sliding packers off meaningful data.
+    """
+    from ..io import supermer as supermer_io
+
+    num_shards = len(streams)
+    gran = int(np.lcm(16, pad_multiple))
+    raw = max(max(c.shape[0] for c, _ in streams) + 16, gran)
+    block_len = -(-raw // gran) * gran
+    lmax = max(max(l.shape[0] for _, l in streams), 1)
+
+    packed = np.zeros((num_shards, block_len // 16), dtype=np.uint32)
+    lens2d = np.zeros((num_shards, lmax), dtype=np.int32)
+    for s, (c, l) in enumerate(streams):
+        buf = np.zeros(block_len, dtype=np.int8)
+        buf[: c.shape[0]] = c
+        packed[s] = supermer_io.pack_codes_2bit(buf)
+        lens2d[s, : l.shape[0]] = l
+    return packed.reshape(-1), lens2d, block_len
+
+
+def wire_nbytes(streams: list[tuple[np.ndarray, np.ndarray]]) -> int:
+    """Exchange bytes this dispatch ships: 2 bits/base + 4 B/supermer."""
+    return sum(
+        -(-int(c.shape[0]) // 4) + int(l.nbytes) for c, l in streams
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_shards", "block_len", "mesh")
+)
+def _count_supermer_jit(packed, lengths, *, cfg, num_shards, block_len, mesh):
+    """Per-shard local count over received supermers — no collective in the
+    body: routing already happened at the (host) supermer dispatch, the
+    TPU analogue of the reference's post-exchange process_tasks
+    (src/kmerops.cpp:851-872): sort_task + count_sorted_kmers per shard."""
+    from ..ops import wire
+
+    def body(pk, ln):
+        codes, valid = wire.decode_block(pk, ln, cfg.k, block_len)
+        if cfg.fuse_keybuild:
+            from ..ops import keybuild
+
+            marked = keybuild.canonical_keys_fused(codes, valid, cfg.k)
+        else:
+            words = kmer_ops.canonical_words(codes.astype(jnp.int32), cfg.k)
+            marked = sort_ops.apply_sentinel(~valid, words)
+        _, words_s, _ = sort_ops.sort_marked(marked, backend=cfg.sort_backend)
+        cnt, keep = _count_merged(words_s, cfg)
+        return tuple(words_s), cnt, keep
+
+    word_specs = tuple(P(SHARD_AXIS) for _ in range(cfg.words))
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS)),
+        check_rep=False,
+    )(packed, lengths)
+
+
+def count_reads_supermer(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    mesh: Optional[Mesh] = None,
+):
+    """Supermer-dispatch entry: raw (codes, read lengths) -> (KmerList, hist).
+
+    Pipeline: host minimizer scan -> balanced bucket dispatch -> per-shard
+    supermer run streams -> 2-bit wire -> per-shard local sort+count.
+    Output semantics identical to every other entry point.
+    """
+    from ..io import fasta as fasta_io, supermer as supermer_io
+    from ..pipeline import (
+        KmerList, compact_keys, host_histogram, resolved_cfg,
+    )
+    from . import dispatch
+
+    assert cfg.routing == "supermer", cfg.routing
+    if cfg.extension:
+        raise ValueError(
+            "extension mode is not supported under supermer routing yet; "
+            "use routing='range' (EXT payloads derive from read lengths on "
+            "the raw wire, ops/wire.rid_pos_from_lengths)"
+        )
+    mesh = mesh or make_mesh()
+    num_shards = mesh.devices.size
+
+    flat_codes, flat_valid = fasta_io.flatten_for_device(
+        codes, lengths, cfg.k, cfg.pad_multiple
+    )
+    num_buckets = num_shards * cfg.avg_buckets_per_shard
+    dest = host_destinations(flat_codes, cfg.k, cfg.m, num_buckets)
+
+    sizes = np.bincount(
+        dest[flat_valid.astype(bool)], minlength=num_buckets
+    ).astype(np.int64)
+    if cfg.dispatcher == "balanced":
+        assign = dispatch.balanced_assignment(sizes, num_shards)
+    else:
+        assign = dispatch.round_robin_assignment(num_buckets, num_shards)
+    shard_of = assign[dest]
+
+    streams = supermer_io.encode_supermer_streams(
+        flat_codes, flat_valid, shard_of, cfg.k, num_shards
+    )
+    packed, lens2d, block_len = _pack_streams(streams, cfg.pad_multiple)
+
+    cfg2 = resolved_cfg(cfg, block_len)
+    keys, cnt, keep = _count_supermer_jit(
+        jnp.asarray(packed),
+        jnp.asarray(lens2d),
+        cfg=cfg2,
+        num_shards=num_shards,
+        block_len=block_len,
+        mesh=mesh,
+    )
+
+    keep_np = np.asarray(keep)
+    kmerlist = KmerList(
+        keys=compact_keys(keys, keep_np),
+        counts=np.asarray(cnt)[keep_np],
+        k=cfg.k,
+    )
+    return kmerlist, host_histogram(kmerlist.counts, cfg.upper)

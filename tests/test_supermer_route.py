@@ -1,0 +1,117 @@
+"""Supermer-dispatch pipeline (parallel/supermer_route.py) vs the oracle.
+
+The reference's exchange architecture: supermers move (lengths + 2-bit
+bases), keys never do; each shard counts only the buckets it owns
+(reference src/kmerops.cpp:1096-1148, 587-643, 484-521)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hysortk_tpu import KmerConfig
+from hysortk_tpu.io import fasta as fasta_io
+from hysortk_tpu.io import supermer as supermer_io
+from hysortk_tpu.parallel.mesh import make_mesh
+from hysortk_tpu.parallel import supermer_route
+from hysortk_tpu import testing as oracle
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual CPU) mesh"
+)
+
+
+def _run(reads, cfg, n_dev=None):
+    devs = jax.devices()[: n_dev or len(jax.devices())]
+    mesh = make_mesh(devs)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    kmerlist, hist = supermer_route.count_reads_supermer(
+        codes, lengths, cfg, mesh
+    )
+    return kmerlist.as_dict(), hist
+
+
+def _expect(reads, cfg):
+    filt = oracle.oracle_filtered(reads, cfg.k, cfg.lower, cfg.upper)
+    return {k.encode(): v for k, v in filt.items()}
+
+
+@pytest.mark.parametrize("dispatcher", ["balanced", "round_robin"])
+def test_supermer_route_matches_oracle(dispatcher):
+    rng = np.random.default_rng(23)
+    reads = oracle.random_reads(rng, 40, 35, 120)
+    reads = reads + reads[:20] + reads[:6]
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer",
+                     dispatcher=dispatcher, pad_multiple=256)
+    got, hist = _run(reads, cfg)
+    want = _expect(reads, cfg)
+    assert got == want
+    counts = np.asarray(sorted(want.values()))
+    np.testing.assert_array_equal(
+        np.bincount(counts, minlength=cfg.upper + 1)[: cfg.upper + 1], hist
+    )
+
+
+def test_supermer_route_k15_one_word_keys():
+    rng = np.random.default_rng(5)
+    reads = oracle.random_reads(rng, 30, 20, 70) * 3
+    cfg = KmerConfig(k=15, m=7, lower=2, upper=60, routing="supermer",
+                     pad_multiple=256)
+    assert _run(reads, cfg, n_dev=4)[0] == _expect(reads, cfg)
+
+
+def test_supermer_route_via_count_reads_sharded():
+    from hysortk_tpu.parallel.pipeline import count_reads_sharded
+
+    rng = np.random.default_rng(9)
+    reads = oracle.random_reads(rng, 24, 40, 80) * 2
+    cfg = KmerConfig(k=31, m=11, lower=1, upper=500, routing="supermer")
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    kmerlist, _ = count_reads_sharded(codes, lengths, cfg, make_mesh())
+    assert kmerlist.as_dict() == _expect(reads, cfg)
+
+
+def test_supermer_streams_roundtrip_and_density():
+    """Stream encoding must (a) cover every valid k-mer exactly once across
+    buckets, (b) ship ~2 bits/base + 4 B/supermer — the reference wire
+    density (src/kmerops.cpp:1096-1148) — far below raw packed keys."""
+    rng = np.random.default_rng(31)
+    reads = oracle.random_reads(rng, 60, 80, 400)
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=65535)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    flat_codes, flat_valid = fasta_io.flatten_for_device(
+        codes, lengths, cfg.k, 256
+    )
+    S = 8
+    dest = supermer_route.host_destinations(flat_codes, cfg.k, cfg.m, S)
+    streams = supermer_io.encode_supermer_streams(
+        flat_codes, flat_valid, dest, cfg.k, S
+    )
+    # Every decoded window is a valid k-mer; multiset across buckets equals
+    # the oracle's unfiltered canonical counts.
+    from collections import Counter
+
+    got = Counter()
+    b2c = {0: "A", 1: "C", 2: "G", 3: "T"}
+    for c, ln in streams:
+        off = 0
+        for l in ln:
+            seq = "".join(b2c[int(x)] for x in c[off : off + int(l)])
+            assert int(l) <= supermer_io.MAX_SUPERMER_LEN
+            for i in range(int(l) - cfg.k + 1):
+                got[oracle.canonical(seq[i : i + cfg.k])] += 1
+            off += int(l)
+    assert got == oracle.oracle_counts(reads, cfg.k)
+
+    total_kmers = sum(got.values())
+    wire = supermer_route.wire_nbytes(streams)
+    raw = total_kmers * cfg.words * 4
+    assert wire < raw / 4, (wire, raw)
+    total_supermer_bases = sum(int(l.sum()) for _, l in streams)
+    n_supermers = sum(l.size for _, l in streams)
+    assert wire <= total_supermer_bases / 4 + 4 * n_supermers + 8
+
+
+def test_supermer_route_rejects_extension():
+    with pytest.raises(ValueError, match="supermer"):
+        KmerConfig(k=31, m=17, routing="supermer", extension=True)
