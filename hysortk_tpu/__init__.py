@@ -54,6 +54,8 @@ __all__ = [
     "count_fasta_multihost_streaming",
     "count_fasta_multihost_ext_streaming",
     "count_reads_supermer",
+    "count_reads_supermer_exchange",
+    "count_fasta_multihost_supermer",
 ]
 
 
@@ -69,10 +71,14 @@ def __getattr__(name):
         from .parallel import pipeline as _pp
 
         return getattr(_pp, name)
-    if name == "count_reads_supermer":
+    if name in (
+        "count_reads_supermer",
+        "count_reads_supermer_exchange",
+        "count_fasta_multihost_supermer",
+    ):
         from .parallel import supermer_route as _sr
 
-        return _sr.count_reads_supermer
+        return getattr(_sr, name)
     if name in (
         "count_fasta_multihost",
         "count_fasta_multihost_ext",

@@ -101,12 +101,12 @@ def main(argv=None) -> int:
     )
 
     if cfg.routing == "supermer" and (
-        args.stream_batch_bases or args.coordinator or args.single_device
+        args.stream_batch_bases or args.single_device
     ):
         p.error(
             "--routing supermer is the single-step sharded dispatch path; "
-            "it does not combine with --stream-batch-bases, --coordinator "
-            "or --single-device (use the default range routing there)"
+            "it does not combine with --stream-batch-bases or "
+            "--single-device (use the default range routing there)"
         )
 
     if args.coordinator:
@@ -201,9 +201,18 @@ def main(argv=None) -> int:
                     codes, lengths, cfg, args.stream_batch_bases
                 )
         elif jax.process_count() > 1:
-            from .parallel.multihost import count_fasta_multihost
+            if cfg.routing == "supermer":
+                from .parallel.supermer_route import (
+                    count_fasta_multihost_supermer,
+                )
 
-            kmerlist, hist = count_fasta_multihost(args.fasta, cfg)
+                kmerlist, hist = count_fasta_multihost_supermer(
+                    args.fasta, cfg
+                )
+            else:
+                from .parallel.multihost import count_fasta_multihost
+
+                kmerlist, hist = count_fasta_multihost(args.fasta, cfg)
         elif len(devices) > 1 and not args.single_device:
             from .parallel.pipeline import count_reads_sharded
 

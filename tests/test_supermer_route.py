@@ -115,3 +115,46 @@ def test_supermer_streams_roundtrip_and_density():
 def test_supermer_route_rejects_extension():
     with pytest.raises(ValueError, match="supermer"):
         KmerConfig(k=31, m=17, routing="supermer", extension=True)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_supermer_exchange_matches_oracle(n_dev):
+    """On-fabric variant: supermer segments cross the mesh in one
+    all_to_all and the owner shard decodes them (reference exchange +
+    receive-side parse, src/kmerops.cpp:587-643, 484-521)."""
+    rng = np.random.default_rng(41)
+    reads = oracle.random_reads(rng, 36, 35, 110)
+    reads = reads + reads[:18] + reads[:5]
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer",
+                     pad_multiple=256)
+    devs = jax.devices()[:n_dev]
+    mesh = make_mesh(devs)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    kmerlist, hist = supermer_route.count_reads_supermer_exchange(
+        codes, lengths, cfg, mesh
+    )
+    assert kmerlist.as_dict() == _expect(reads, cfg)
+    direct, hist_direct = _run(reads, cfg, n_dev=n_dev)
+    assert kmerlist.as_dict() == direct
+    np.testing.assert_array_equal(hist, hist_direct)
+
+
+def test_split_stream_boundaries():
+    ln = np.asarray([40, 35, 60, 31, 31], dtype=np.uint32)
+    c = np.arange(int(ln.sum()), dtype=np.int8)
+    parts = supermer_route.split_stream(c, ln, 3)
+    assert sum(p[1].size for p in parts) == ln.size
+    got_c = np.concatenate([p[0] for p in parts])
+    got_l = np.concatenate([p[1] for p in parts])
+    np.testing.assert_array_equal(got_c, c)
+    np.testing.assert_array_equal(got_l, ln)
+    for pc, pl in parts:
+        assert pc.size == int(pl.sum())
+    # Empty stream and parts > supermers must still tile exactly.
+    parts = supermer_route.split_stream(
+        np.zeros(0, np.int8), np.zeros(0, np.uint32), 4
+    )
+    assert len(parts) == 4 and all(p[1].size == 0 for p in parts)
+    parts = supermer_route.split_stream(c[:40], ln[:1], 3)
+    assert sum(p[1].size for p in parts) == 1
+    assert sum(p[0].size for p in parts) == 40

@@ -83,6 +83,35 @@ est_payload = {
 }
 assert est_payload == ext_payload, "EXT streaming != one-shot"
 
+# Supermer routing across 2 real processes: the cross-host wire is the
+# run format (lengths + 2-bit bases) moving inside one device all_to_all
+# (reference exchange, src/kmerops.cpp:587-643). Assert both equality and
+# the DCN byte density the format exists for.
+from hysortk_tpu.parallel import supermer_route
+from hysortk_tpu.io import fasta as fasta_io, supermer as supermer_io
+cfg_sm = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer",
+                    pad_multiple=128)
+kl_sm, hist_sm = supermer_route.count_fasta_multihost_supermer(
+    f"{tmp}/mp.fa", cfg_sm
+)
+assert np.array_equal(hist_sm, hist), "supermer histogram != range routing"
+sm_payload = {km.decode(): int(c)
+              for km, c in zip(kl_sm.decoded(), kl_sm.counts)}
+with open(f"{tmp}/out/sm_{pid}.json", "w") as f:
+    json.dump(sm_payload, f)
+# Density of this host's exchange stream: <= 2 bits/base + 4 B/supermer.
+flat_c, flat_v = fasta_io.flatten_for_device(
+    codes_w, lengths_w, cfg_sm.k, cfg_sm.pad_multiple
+)
+nb = 2 * cfg_sm.avg_buckets_per_shard * 2
+dd = supermer_route.host_destinations(flat_c, cfg_sm.k, cfg_sm.m, nb)
+sm_streams = supermer_io.encode_supermer_streams(
+    flat_c, flat_v, dd % 4, cfg_sm.k, 4
+)
+sm_bases = sum(int(l.sum()) for _, l in sm_streams)
+sm_n = sum(l.size for _, l in sm_streams)
+assert supermer_route.wire_nbytes(sm_streams) <= sm_bases / 4 + 4 * sm_n + 8
+
 from jax.experimental import multihost_utils
 multihost_utils.sync_global_devices("done-writing")
 
@@ -115,7 +144,16 @@ if pid == 0:
     }
     got_ext = {km: [tuple(x) for x in v] for km, v in ext_union.items()}
     assert got_ext == expected_ext, (len(got_ext), len(expected_ext))
-    print(f"MULTIPROCESS OK: {len(got)} kmers (+EXT payloads +streaming), 2 processes x 2 devices", flush=True)
+
+    # Supermer-routed union across processes vs the same oracle.
+    sm_union = {}
+    for p in (0, 1):
+        with open(f"{tmp}/out/sm_{p}.json") as f:
+            part = json.load(f)
+        assert not (set(part) & set(sm_union)), "kmer owned by both shards"
+        sm_union.update(part)
+    assert {k.encode(): v for k, v in sm_union.items()} == want
+    print(f"MULTIPROCESS OK: {len(got)} kmers (+EXT payloads +streaming +supermer exchange), 2 processes x 2 devices", flush=True)
 EOF
 }
 
