@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bucket placement under minimizer routing")
     p.add_argument("--profile", metavar="LOGDIR", default=None,
                    help="capture a jax.profiler trace of the counting stage")
+    p.add_argument("--device-compact", action="store_true",
+                   help="compact results on device and pull exact-size "
+                        "slices (slow host<->device links; costs one extra "
+                        "device sort per batch)")
     p.add_argument("--fuse-keybuild", action="store_true",
                    help="build canonical keys in one fused Pallas kernel")
     p.add_argument("--fuse-count", action="store_true",
@@ -98,6 +102,7 @@ def main(argv=None) -> int:
         extension=args.extension, routing=args.routing,
         classifier=args.classifier, dispatcher=args.dispatcher,
         fuse_keybuild=args.fuse_keybuild, fuse_count=args.fuse_count,
+        device_compact=args.device_compact,
     )
 
     if cfg.routing == "supermer" and (

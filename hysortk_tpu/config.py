@@ -108,6 +108,16 @@ class KmerConfig:
     # Device batch sizing: flat base-stream padding granularity.
     pad_multiple: int = 1024
 
+    # Compact results ON DEVICE before the host pull: fold dropped slots to
+    # the sentinel, one extra (keys + count) payload sort, then the host
+    # fetches exact-size prefixes instead of full padded arrays + mask.
+    # Worth it when the device->host link is slow (tunneled/remote TPUs,
+    # ~10 MB/s measured here: saves ~770 MB of pull per 2^26 batch for one
+    # ~0.23 s device sort); a small net loss on local PCIe hosts, hence off
+    # by default. The reference has no analogue (its sort output lives in
+    # the same address space it counts from).
+    device_compact: bool = False
+
     # Internal: emit every distinct key with its raw count ([1, inf) filter).
     # Used by streaming pre-counts, whose partials must never be clipped
     # (the final merge applies the real [lower, upper]); not a user knob.

@@ -165,13 +165,7 @@ def count_reads_ext(
     return count_flat_ext(flat, valid, rid, pos, cfg)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "lower", "upper", "sort_backend", "fuse_keybuild", "fuse_count"
-    ),
-)
-def _count_device(
+def _count_core(
     codes: jnp.ndarray,
     valid: jnp.ndarray,
     k: int,
@@ -181,7 +175,8 @@ def _count_device(
     fuse_keybuild: bool = False,
     fuse_count: bool = False,
 ):
-    """codes (N,) int8, valid (N,) bool -> sorted keys, counts, keep mask."""
+    """codes (N,) int8, valid (N,) bool -> sorted keys, counts, keep mask.
+    Traced under both the raw-array and the packed-wire entry jits."""
     if fuse_keybuild:
         from .ops import keybuild
 
@@ -208,6 +203,95 @@ def _count_device(
     # counts — the reference's counting timer likewise excludes histogram
     # work (src/hysortk.cpp:91 vs print_kmer_histogram).
     return tuple(words_s), cnt, keep
+
+
+_count_device = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "lower", "upper", "sort_backend", "fuse_keybuild", "fuse_count"
+    ),
+)(_count_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "n", "lower", "upper", "sort_backend",
+        "fuse_keybuild", "fuse_count",
+    ),
+)
+def _count_device_packed(
+    packed: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k: int,
+    n: int,
+    lower: int,
+    upper: int,
+    sort_backend: str,
+    fuse_keybuild: bool = False,
+    fuse_count: bool = False,
+):
+    """Wire-fed single-chip step: (n/16,) uint32 packed words + (R,) read
+    lengths -> decode on device -> count. H2D is ~2 bits/base + 4 B/read
+    instead of 9 bits/base (int8 codes + bool mask) — the reference's
+    supermer wire density on the feed (src/kmerops.cpp:1096-1148)."""
+    from .ops import wire
+
+    codes, valid = wire.decode_block(packed, lengths, k, n)
+    return _count_core(
+        codes, valid, k, lower, upper, sort_backend,
+        fuse_keybuild, fuse_count,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "n", "lower", "upper", "sort_backend",
+        "fuse_keybuild", "fuse_count",
+    ),
+)
+def _count_device_packed_compact(
+    packed: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k: int,
+    n: int,
+    lower: int,
+    upper: int,
+    sort_backend: str,
+    fuse_keybuild: bool = False,
+    fuse_count: bool = False,
+):
+    """Wire-fed step + on-device result compaction (cfg.device_compact):
+    dropped slots fold to the sentinel and one payload sort moves the kept
+    (key, count) entries to an ascending prefix; returns (words, counts,
+    n_kept) so the host pulls exact-size slices instead of full padded
+    arrays + mask."""
+    from .ops import wire
+
+    codes, valid = wire.decode_block(packed, lengths, k, n)
+    words_s, cnt, keep = _count_core(
+        codes, valid, k, lower, upper, sort_backend,
+        fuse_keybuild, fuse_count,
+    )
+    full = jnp.uint32(0xFFFFFFFF)
+    folded = [jnp.where(keep, w, full) for w in words_s]
+    _, cw, cp = sort_ops.sort_marked(
+        folded, [cnt.astype(jnp.uint32)], backend=sort_backend
+    )
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    return tuple(cw), cp[0], n_kept
+
+
+def pull_prefix(
+    arrays, n: int, granule: int = 1 << 20
+) -> list[np.ndarray]:
+    """Fetch the first n elements of device arrays, pulling only a
+    granule-rounded prefix (few distinct eager-slice shapes; ~n bytes on
+    the wire instead of the full padded arrays)."""
+    size = int(arrays[0].shape[0])
+    n2 = min(-(-max(n, 1) // granule) * granule, size)
+    return [np.asarray(a[:n2])[:n] for a in arrays]
 
 
 def split_occurrences(
@@ -334,10 +418,46 @@ def count_reads(
     lengths: np.ndarray,
     cfg: KmerConfig,
 ) -> tuple[KmerList, np.ndarray]:
-    """Full single-chip pipeline from packed host reads."""
-    from .io import fasta as fasta_io
+    """Full single-chip pipeline from packed host reads.
 
-    flat, valid = fasta_io.flatten_for_device(
-        codes, lengths, cfg.k, cfg.pad_multiple
+    Feeds the device over the 2-bit packed wire (io/supermer.pack_codes_2bit
+    -> ops/wire.decode_block): ~2 bits/base + 4 B/read H2D instead of
+    9 bits/base for (int8 codes, bool valid) — same density the sharded and
+    multihost paths already use."""
+    from .io import supermer as supermer_io
+
+    total = int(codes.size)
+    pad = cfg.pad_multiple
+    n = -(-(total + 16) // pad) * pad
+    cfg = resolved_cfg(cfg, n)
+    buf = np.zeros(n, dtype=np.int8)
+    buf[:total] = codes
+    packed = supermer_io.pack_codes_2bit(buf)
+    args = (
+        jnp.asarray(packed),
+        jnp.asarray(lengths.astype(np.int32)),
+        cfg.k,
+        n,
+        cfg.lower,
+        cfg.upper,
+        cfg.sort_backend,
+        cfg.fuse_keybuild,
+        cfg.fuse_count,
     )
-    return count_flat(flat, valid, cfg)
+    if cfg.device_compact:
+        keys, cnt, n_kept = _count_device_packed_compact(*args)
+        nk = int(jax.device_get(n_kept))
+        kmerlist = KmerList(
+            keys=np.stack(pull_prefix(list(keys), nk), axis=-1),
+            counts=pull_prefix([cnt], nk)[0].astype(np.int32),
+            k=cfg.k,
+        )
+    else:
+        keys, cnt, keep = _count_device_packed(*args)
+        keep_np = np.asarray(keep)
+        kmerlist = KmerList(
+            keys=compact_keys(keys, keep_np),
+            counts=np.asarray(cnt)[keep_np],
+            k=cfg.k,
+        )
+    return kmerlist, host_histogram(kmerlist.counts, cfg.upper)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import KmerConfig
-from ..pipeline import KmerList, _count_device
+from ..pipeline import KmerList
 
 
 def iter_read_batches(
@@ -146,8 +146,13 @@ def count_reads_streaming(
     Equivalent to count_reads() (asserted in tests); peak HBM is set by
     batch_bases, not by the input size.
     """
-    from ..io import fasta as fasta_io
-    from ..pipeline import resolved_cfg
+    from ..io import supermer as supermer_io
+    from ..pipeline import (
+        _count_device_packed,
+        _count_device_packed_compact,
+        pull_prefix,
+        resolved_cfg,
+    )
 
     cfg = resolved_cfg(cfg, batch_bases)
     partial_keys: list[np.ndarray] = []
@@ -156,36 +161,61 @@ def count_reads_streaming(
     # Uniform device shape across batches: one compile for the whole stream
     # (a fresh compile per batch would dwarf the compute on remote-compile
     # backends). Oversized single reads still get their own (rare) shape.
+    # The batch split is deterministic, so the max read count per batch is
+    # known up front — lengths arrays pad to one static width too.
     target = -(-(batch_bases + 16) // cfg.pad_multiple) * cfg.pad_multiple
+    lmax = max(
+        (
+            ln.size
+            for _, ln in iter_read_batches(codes, lengths, batch_bases)
+        ),
+        default=1,
+    )
 
     for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
-        flat, valid = fasta_io.flatten_for_device(
-            b_codes, b_lengths, cfg.k, cfg.pad_multiple
-        )
-        if flat.shape[0] < target:
-            pad = target - flat.shape[0]
-            flat = np.concatenate([flat, np.zeros(pad, flat.dtype)])
-            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        # Feed over the 2-bit wire (~2 bits/base + 4 B/read H2D, the
+        # sharded paths' format) instead of int8 codes + bool mask.
+        n = target
+        if b_codes.size + 16 > target:
+            # One read larger than the batch budget: rare one-off shape.
+            n = -(-(b_codes.size + 16) // cfg.pad_multiple) * cfg.pad_multiple
+        buf = np.zeros(n, dtype=np.int8)
+        buf[: b_codes.size] = b_codes
+        packed = supermer_io.pack_codes_2bit(buf)
+        lens = np.zeros(max(lmax, 1), dtype=np.int32)
+        lens[: b_lengths.size] = b_lengths
         # Unfiltered per-batch pre-count (filter only applies to final totals).
         # The upper bound here must be unbounded (NOT cfg.upper, and not
         # 65535): dropping a partial count whose single-batch frequency
         # exceeds any cap would silently corrupt the merged totals — the
         # final merge's [lower, upper] filter is the only real bound.
-        keys, cnt, keep = _count_device(
-            jnp.asarray(flat, jnp.int8),
-            jnp.asarray(valid),
+        args = (
+            jnp.asarray(packed),
+            jnp.asarray(lens),
             cfg.k,
+            n,
             1,
             2**31 - 1,
             cfg.sort_backend,
             cfg.fuse_keybuild,
             cfg.fuse_count,
         )
-        keep_np = np.asarray(keep)
-        from ..pipeline import compact_keys
+        if cfg.device_compact:
+            # One extra device sort folds dropped slots away so the host
+            # pull is ~distinct x 12 B instead of the full padded arrays —
+            # the slow-link mode (see KmerConfig.device_compact).
+            keys, cnt, n_kept = _count_device_packed_compact(*args)
+            nk = int(jax.device_get(n_kept))
+            pulled = pull_prefix(list(keys) + [cnt], nk)
+            partial_keys.append(np.stack(pulled[:-1], axis=-1))
+            partial_cnts.append(pulled[-1].astype(np.uint32))
+        else:
+            keys, cnt, keep = _count_device_packed(*args)
+            keep_np = np.asarray(keep)
+            from ..pipeline import compact_keys
 
-        partial_keys.append(compact_keys(keys, keep_np))
-        partial_cnts.append(np.asarray(cnt)[keep_np])
+            partial_keys.append(compact_keys(keys, keep_np))
+            partial_cnts.append(np.asarray(cnt)[keep_np])
 
     if not partial_keys:
         return (
@@ -213,9 +243,13 @@ def _merge_chunk_jit():
     from ..ops import sort as sort_ops
 
     @functools.partial(
-        jax.jit, static_argnames=("words", "lower", "upper", "run_len")
+        jax.jit,
+        static_argnames=(
+            "words", "lower", "upper", "run_len", "compact", "sort_backend"
+        ),
     )
-    def merge(keys, cnts, *, words, lower, upper, run_len):
+    def merge(keys, cnts, *, words, lower, upper, run_len,
+              compact=False, sort_backend="xla"):
         wlist = [keys[:, :, w].reshape(-1) for w in range(words)]
         merged = merge_ops.merge_sorted_runs(
             wlist + [cnts.reshape(-1)], words, run_len
@@ -226,6 +260,15 @@ def _merge_chunk_jit():
             svalid, words_s, pay.astype(jnp.int32)
         )
         keep = count_ops.frequency_filter(head, total, lower, upper)
+        if compact:
+            # Slow-link mode: one payload sort folds dropped slots away so
+            # the host pulls ~result x 12 B, not the full padded merge.
+            full = jnp.uint32(0xFFFFFFFF)
+            folded = [jnp.where(keep, w, full) for w in words_s]
+            _, cw, cp = sort_ops.sort_marked(
+                folded, [total.astype(jnp.uint32)], backend=sort_backend
+            )
+            return tuple(cw), cp[0], jnp.sum(keep.astype(jnp.int32))
         return tuple(words_s), total, keep
 
     return merge
@@ -264,14 +307,27 @@ def merge_partial_lists(
         for i, (pk, pc) in enumerate(zip(chunk_keys, chunk_cnts)):
             all_keys[i, : pk.shape[0]] = pk
             all_cnts[i, : pc.shape[0]] = pc
-        keys_s, total, keep = merge(
+        out = merge(
             jnp.asarray(all_keys),
             jnp.asarray(all_cnts),
             words=cfg.words,
             lower=cfg.lower,
             upper=cfg.upper,
             run_len=run_len,
+            compact=cfg.device_compact,
+            sort_backend=cfg.sort_backend,
         )
+        if cfg.device_compact:
+            from ..pipeline import pull_prefix
+
+            keys_s, total, n_kept = out
+            nk = int(jax.device_get(n_kept))
+            pulled = pull_prefix(list(keys_s) + [total], nk)
+            return (
+                np.stack(pulled[:-1], axis=-1),
+                pulled[-1].astype(np.int32),
+            )
+        keys_s, total, keep = out
         from ..pipeline import compact_keys
 
         keep_np = np.asarray(keep)

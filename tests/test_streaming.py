@@ -249,3 +249,44 @@ def test_chunked_partial_merge_equals_single_shot():
             acc[tuple(row)] = acc.get(tuple(row), 0) + int(c)
     got = {tuple(r): int(c) for r, c in zip(big_k, big_c)}
     assert got == acc
+
+
+def test_streaming_device_compact_equals_default():
+    """device_compact pulls exact-size compacted slices (slow-link mode);
+    results must be identical to the default masked pull."""
+    import numpy as np
+
+    from hysortk_tpu import KmerConfig
+    from hysortk_tpu import testing as oracle
+    from hysortk_tpu.io import fasta as fasta_io
+    from hysortk_tpu.runtime.scheduler import count_reads_streaming
+
+    rng = np.random.default_rng(77)
+    reads = oracle.random_reads(rng, 40, 35, 120)
+    reads = reads + reads[:20]
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, pad_multiple=256)
+    cfg_dc = KmerConfig(k=31, m=17, lower=2, upper=50, pad_multiple=256,
+                        device_compact=True)
+    kl_a, hist_a = count_reads_streaming(codes, lengths, cfg, 700)
+    kl_b, hist_b = count_reads_streaming(codes, lengths, cfg_dc, 700)
+    assert kl_a.as_dict() == kl_b.as_dict()
+    np.testing.assert_array_equal(hist_a, hist_b)
+
+
+def test_count_reads_device_compact():
+    import numpy as np
+
+    from hysortk_tpu import KmerConfig, count_reads
+    from hysortk_tpu import testing as oracle
+    from hysortk_tpu.io import fasta as fasta_io
+
+    rng = np.random.default_rng(78)
+    reads = oracle.random_reads(rng, 30, 40, 90) * 2
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, pad_multiple=256,
+                     device_compact=True)
+    kl, hist = count_reads(codes, lengths, cfg)
+    want = {k.encode(): v
+            for k, v in oracle.oracle_filtered(reads, 31, 2, 50).items()}
+    assert kl.as_dict() == want
