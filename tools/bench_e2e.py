@@ -107,7 +107,7 @@ def run_tpu(stream: int) -> None:
     args = [sys.executable, "-m", "hysortk_tpu.cli", FASTA, outdir,
             "-k", str(K), "-m", str(M), "-l", str(L), "-u", str(U),
             "--fuse-keybuild", "--fuse-count", "--sort", "auto",
-            "--single-device"]
+            "--device-compact", "--single-device"]
     if stream:
         args += ["--stream-batch-bases", str(stream)]
     t0 = time.perf_counter()
