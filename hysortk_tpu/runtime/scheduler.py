@@ -135,6 +135,22 @@ def count_reads_streaming_ext(
     return merged, host_histogram(merged.counts, cfg.upper)
 
 
+def _device_resident_budget_ok(
+    n_batches: int, target: int, words: int, device=None
+) -> bool:
+    """Can all per-batch compacted partials stay in HBM through the final
+    merge? Peak = runs x run_len x (words+1) x 4 B for the retained
+    partials PLUS the same again for the merge output, with ~25% slack for
+    XLA temporaries."""
+    from . import memcheck
+
+    next_pow2 = lambda x: 1 << max(int(x) - 1, 0).bit_length()
+    runs = next_pow2(max(n_batches, 1))
+    need = int(2.5 * runs * target * (words + 1) * 4)
+    headroom = memcheck.hbm_headroom_bytes(device)
+    return headroom is not None and need < headroom
+
+
 def count_reads_streaming(
     codes: np.ndarray,
     lengths: np.ndarray,
@@ -145,6 +161,12 @@ def count_reads_streaming(
 
     Equivalent to count_reads() (asserted in tests); peak HBM is set by
     batch_bases, not by the input size.
+
+    Under cfg.device_compact, when every per-batch compacted partial plus
+    the final merge fits HBM, the partials STAY ON DEVICE and only the
+    final filtered result crosses back to the host — zero intermediate
+    device->host traffic (the whole point of the slow-link mode). Falls
+    back to host-accumulated partials (chunked merge) otherwise.
     """
     from ..io import supermer as supermer_io
     from ..pipeline import (
@@ -155,8 +177,18 @@ def count_reads_streaming(
     )
 
     cfg = resolved_cfg(cfg, batch_bases)
+    # Snap ANY requested budget onto a pow2 flat shape (<= the request, so
+    # the memory bound holds): a batch one pad block above a pow2 boundary
+    # sorts 26% slower under lax.sort and pads to 2x under the member sort
+    # (both pad to the next power of two internally).
+    snapped = snap_batch_to_pow2_flat(batch_bases, cfg.pad_multiple)
+    if 0 < snapped <= batch_bases:
+        batch_bases = snapped
     partial_keys: list[np.ndarray] = []
     partial_cnts: list[np.ndarray] = []
+    dev_words: list = []
+    dev_cnts: list = []
+    dev_nks: list = []
 
     # Uniform device shape across batches: one compile for the whole stream
     # (a fresh compile per batch would dwarf the compute on remote-compile
@@ -171,6 +203,30 @@ def count_reads_streaming(
         ),
         default=1,
     )
+    n_batches = sum(
+        1 for _ in iter_read_batches(codes, lengths, batch_bases)
+    )
+    # Device-resident accumulation needs a pow2 run length (the bitonic
+    # run merge's geometry) — guaranteed when batch_bases is pow2-snapped
+    # (snap_batch_to_pow2_flat), the production configuration.
+    device_resident = (
+        cfg.device_compact
+        and target & (target - 1) == 0
+        and _device_resident_budget_ok(n_batches, target, cfg.words)
+    )
+
+    def _drain_device_partials():
+        """Pull retained device partials to host (fallback path)."""
+        from ..pipeline import pull_prefix
+
+        for kw, kc, knk in zip(dev_words, dev_cnts, dev_nks):
+            nk = int(jax.device_get(knk))
+            pulled = pull_prefix(list(kw) + [kc], nk)
+            partial_keys.append(np.stack(pulled[:-1], axis=-1))
+            partial_cnts.append(pulled[-1].astype(np.uint32))
+        dev_words.clear()
+        dev_cnts.clear()
+        dev_nks.clear()
 
     for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
         # Feed over the 2-bit wire (~2 bits/base + 4 B/read H2D, the
@@ -205,6 +261,17 @@ def count_reads_streaming(
             # pull is ~distinct x 12 B instead of the full padded arrays —
             # the slow-link mode (see KmerConfig.device_compact).
             keys, cnt, n_kept = _count_device_packed_compact(*args)
+            if device_resident:
+                if n == target:
+                    # Partials stay in HBM; nothing crosses to the host.
+                    dev_words.append(keys)
+                    dev_cnts.append(cnt)
+                    dev_nks.append(n_kept)
+                    continue
+                # Oversized one-off batch breaks the uniform run length:
+                # revert to host accumulation for the whole stream.
+                device_resident = False
+                _drain_device_partials()
             nk = int(jax.device_get(n_kept))
             pulled = pull_prefix(list(keys) + [cnt], nk)
             partial_keys.append(np.stack(pulled[:-1], axis=-1))
@@ -216,6 +283,20 @@ def count_reads_streaming(
 
             partial_keys.append(compact_keys(keys, keep_np))
             partial_cnts.append(np.asarray(cnt)[keep_np])
+
+    if dev_words:
+        from ..pipeline import host_histogram
+
+        try:
+            keys_np, cnts_np = _merge_device_resident(
+                dev_words, dev_cnts, cfg, target
+            )
+            result = KmerList(keys_np, cnts_np, cfg.k)
+            return result, host_histogram(result.counts, cfg.upper)
+        except (RuntimeError, jax.errors.JaxRuntimeError):
+            # Merge didn't fit HBM after all (budget heuristic missed):
+            # pull the compacted partials and finish host-side.
+            _drain_device_partials()
 
     if not partial_keys:
         return (
@@ -231,6 +312,83 @@ def count_reads_streaming(
 
     result = KmerList(keys_np, cnts_np, cfg.k)
     return result, host_histogram(result.counts, cfg.upper)
+
+
+def _merge_device_resident(dev_words, dev_cnts, cfg, run_len):
+    """Merge device-retained per-batch (keys, counts) runs entirely on
+    device; only the final filtered, compacted result crosses to the host.
+
+    Two jits so the batch partials free before the compaction sort's
+    workspace peaks: (1) concat (donated) + bitonic run merge + weighted
+    run-length sum + [L,U] filter; (2) sentinel-fold + payload sort +
+    n_kept (donated). The reference's count_sorted_kmerlist plays role (1)
+    (src/kmerops.cpp:1447-1476); role (2) has no reference analogue — its
+    sorter output already lives in host memory.
+    """
+    import functools
+
+    from ..ops import count as count_ops
+    from ..ops import merge as merge_ops
+    from ..ops import sort as sort_ops
+    from ..pipeline import pull_prefix
+
+    next_pow2 = lambda x: 1 << max(int(x) - 1, 0).bit_length()
+    runs = next_pow2(len(dev_words))
+    pad_runs = runs - len(dev_words)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("words", "lower", "upper", "run_len", "pad_runs"),
+        donate_argnums=(0, 1),
+    )
+    def merge(parts_words, parts_cnts, *, words, lower, upper, run_len,
+              pad_runs):
+        full = jnp.uint32(0xFFFFFFFF)
+        wflat = []
+        for w in range(words):
+            cols = [p[w] for p in parts_words]
+            cols += [jnp.full((run_len,), full, jnp.uint32)] * pad_runs
+            wflat.append(jnp.concatenate(cols))
+        ccols = list(parts_cnts)
+        ccols += [jnp.zeros((run_len,), jnp.uint32)] * pad_runs
+        cflat = jnp.concatenate(ccols)
+        merged = merge_ops.merge_sorted_runs(wflat + [cflat], words, run_len)
+        words_s, pay = merged[:words], merged[words]
+        svalid = sort_ops.sentinel_valid(words_s)
+        head, total = count_ops.run_length_sum(
+            svalid, words_s, pay.astype(jnp.int32)
+        )
+        keep = count_ops.frequency_filter(head, total, lower, upper)
+        return tuple(words_s), total, keep
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("sort_backend",),
+        donate_argnums=(0, 1, 2),
+    )
+    def compact(words_s, total, keep, *, sort_backend):
+        full = jnp.uint32(0xFFFFFFFF)
+        folded = [jnp.where(keep, w, full) for w in words_s]
+        _, cw, cp = sort_ops.sort_marked(
+            folded, [total.astype(jnp.uint32)], backend=sort_backend
+        )
+        return tuple(cw), cp[0], jnp.sum(keep.astype(jnp.int32))
+
+    words_s, total, keep = merge(
+        tuple(tuple(p) for p in dev_words),
+        tuple(dev_cnts),
+        words=cfg.words,
+        lower=cfg.lower,
+        upper=cfg.upper,
+        run_len=run_len,
+        pad_runs=pad_runs,
+    )
+    keys_s, cnt_s, n_kept = compact(
+        list(words_s), total, keep, sort_backend=cfg.sort_backend
+    )
+    nk = int(jax.device_get(n_kept))
+    pulled = pull_prefix(list(keys_s) + [cnt_s], nk)
+    return np.stack(pulled[:-1], axis=-1), pulled[-1].astype(np.int32)
 
 
 def _merge_chunk_jit():

@@ -290,3 +290,33 @@ def test_count_reads_device_compact():
     want = {k.encode(): v
             for k, v in oracle.oracle_filtered(reads, 31, 2, 50).items()}
     assert kl.as_dict() == want
+
+
+def test_streaming_device_resident_merge(monkeypatch):
+    """Device-resident accumulation (partials never cross to the host until
+    the final result) must equal the host-accumulated path. CPU meshes
+    report no HBM headroom, so force the budget decision."""
+    import numpy as np
+
+    from hysortk_tpu import KmerConfig
+    from hysortk_tpu import testing as oracle
+    from hysortk_tpu.io import fasta as fasta_io
+    from hysortk_tpu.runtime import scheduler
+
+    monkeypatch.setattr(
+        scheduler, "_device_resident_budget_ok", lambda *a, **k: True
+    )
+    rng = np.random.default_rng(81)
+    reads = oracle.random_reads(rng, 36, 35, 120)
+    reads = reads + reads[:18]
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, pad_multiple=256,
+                     device_compact=True)
+    kl, hist = scheduler.count_reads_streaming(codes, lengths, cfg, 700)
+    want = {k.encode(): v
+            for k, v in oracle.oracle_filtered(reads, 31, 2, 50).items()}
+    assert kl.as_dict() == want
+    counts = np.asarray(sorted(want.values()))
+    np.testing.assert_array_equal(
+        np.bincount(counts, minlength=51)[:51], hist
+    )

@@ -172,9 +172,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("phase", choices=("gen", "ref", "tpu", "report"))
     ap.add_argument("--bases", type=int, default=512 * 1024 * 1024)
-    # Default snaps the per-batch flat device size onto exactly 2^26 (the
-    # pow2 sort cliff + the kernel shapes bench.py already compiled).
-    ap.add_argument("--stream", type=int, default=(1 << 26) - 8192)
+    # Default snaps the per-batch flat device size onto exactly 2^26: the
+    # flattener pads to ceil((bases+16)/pad)*pad, so batch must be 2^26-16
+    # (snap_batch_to_pow2_flat). The old 2^26-8192 default landed at
+    # 67101696 — above the boundary, so lax.sort hit the 26% pow2 cliff
+    # AND the member sort padded every batch to 2^27 (2x the work).
+    ap.add_argument("--stream", type=int, default=(1 << 26) - 16)
     a = ap.parse_args()
     if a.phase == "gen":
         gen(a.bases)
