@@ -141,11 +141,6 @@ class KmerConfig:
             raise ValueError(f"unknown sort backend {self.sort_backend!r}")
         if self.routing not in ("range", "kmer_hash", "minimizer", "supermer"):
             raise ValueError(f"unknown routing {self.routing!r}")
-        if self.extension and self.routing == "supermer":
-            raise ValueError(
-                "extension mode is not supported under supermer routing; "
-                "use routing='range'"
-            )
         if self.classifier not in ("heavy_hitter", "plain"):
             raise ValueError(f"unknown classifier {self.classifier!r}")
         if self.dispatcher not in ("balanced", "round_robin"):

@@ -239,3 +239,55 @@ def supermer_stats(batches: list[SupermerBatch], k: int, words: int) -> dict:
         "raw_key_bytes": int(raw),
         "compression": (raw / wire) if wire else float("inf"),
     }
+
+
+def encode_supermer_streams_ext(
+    codes: np.ndarray,
+    valid: np.ndarray,
+    dest: np.ndarray,
+    k: int,
+    num_buckets: int,
+    read_lengths: np.ndarray,
+    read_id_offset: int = 0,
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """EXT variant of encode_supermer_streams: each bucket also carries
+    per-supermer (rid0, pos0) — the read id and in-read position of the
+    run's first base, the reference's EXT supermer header
+    ({len, pos, rid}, include/kmer.hpp:348-360). +8 B/supermer on the wire
+    (~0.5 B/kmer at the mean run length); per-k-mer (rid, pos) derive on
+    device (ops/wire.fill_run_meta). Returns
+    [(codes int8, lengths uint32, rid0 int32, pos0 uint32)] per bucket.
+    """
+    run_start_flat, run_bases, run_dest = run_boundaries(valid, dest, k)
+    read_starts = np.concatenate(
+        [[0], np.cumsum(read_lengths.astype(np.int64))]
+    )
+    if run_start_flat.size:
+        rid_all = (
+            np.searchsorted(read_starts, run_start_flat, side="right") - 1
+        )
+        pos_all = run_start_flat - read_starts[rid_all]
+    else:
+        rid_all = pos_all = np.zeros(0, np.int64)
+    out = []
+    for b in range(num_buckets):
+        sel = np.flatnonzero(run_dest == b)
+        st = run_start_flat[sel]
+        ln = run_bases[sel]
+        total = int(ln.sum())
+        if total == 0:
+            out.append((
+                np.zeros(0, np.int8), np.zeros(0, np.uint32),
+                np.zeros(0, np.int32), np.zeros(0, np.uint32),
+            ))
+            continue
+        sup = np.repeat(np.arange(ln.size, dtype=np.int64), ln)
+        off = np.concatenate([[0], np.cumsum(ln)[:-1]])
+        idx = st[sup] + (np.arange(total, dtype=np.int64) - off[sup])
+        out.append((
+            codes[idx].astype(np.int8),
+            ln.astype(np.uint32),
+            (rid_all[sel] + read_id_offset).astype(np.int32),
+            pos_all[sel].astype(np.uint32),
+        ))
+    return out

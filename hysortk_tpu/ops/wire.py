@@ -106,3 +106,40 @@ def decode_block_ext(
     codes, valid = decode_block(packed, lengths, k, n)
     rid, pos = rid_pos_from_lengths(lengths, n, rid_base)
     return codes, valid, rid, pos
+
+
+def fill_run_meta(
+    lengths: jnp.ndarray,
+    rid0: jnp.ndarray,
+    pos0: jnp.ndarray,
+    n: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-position (read id, pos in read) from per-RUN metadata.
+
+    Runs (supermers) are concatenated from flat position 0 per `lengths`;
+    run s starts at position pos0[s] of read rid0[s]. This is the decode of
+    the reference's EXT supermer wire ({len, pos, rid} per supermer,
+    include/kmer.hpp:348-360): piecewise-constant fill of arbitrary per-run
+    values by a boundary DIFF scatter + cumsum — O(n) scans, no gathers
+    (random gathers measure 82 M elem/s on this chip; scans are
+    bandwidth-bound). Only meaningful where valid_from_lengths is True.
+    """
+    lengths = lengths.astype(jnp.int32)
+    ends = jnp.cumsum(lengths)
+    starts = ends - lengths
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def fill(vals):
+        # cumsum of scattered value-diffs == forward fill of vals over
+        # [start_s, start_{s+1}). Zero-length pad runs stack their diffs
+        # on the next start; the telescoped sum stays correct.
+        vals = vals.astype(jnp.int32)
+        diffs = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
+        buf = jnp.zeros(n + 1, jnp.int32).at[
+            jnp.minimum(starts, n)
+        ].add(diffs)
+        return jnp.cumsum(buf[:-1])
+
+    rid = fill(rid0)
+    pos = (fill(pos0.astype(jnp.int32) - starts) + idx).astype(jnp.uint32)
+    return rid, pos

@@ -1128,6 +1128,12 @@ def count_reads_sharded_ext(
     from ..pipeline import KmerListExt, host_histogram, resolved_cfg
 
     mesh = mesh or make_mesh()
+    if cfg.routing == "supermer":
+        from . import supermer_route
+
+        return supermer_route.count_reads_supermer_ext(
+            codes, lengths, cfg, mesh, read_id_offset
+        )
     num_shards = mesh.devices.size
     cfg = resolved_cfg(
         cfg, codes.shape[0] // max(num_shards, 1), extra_operands=2

@@ -170,11 +170,7 @@ def count_reads_supermer(
 
     assert cfg.routing == "supermer", cfg.routing
     if cfg.extension:
-        raise ValueError(
-            "extension mode is not supported under supermer routing yet; "
-            "use routing='range' (EXT payloads derive from read lengths on "
-            "the raw wire, ops/wire.rid_pos_from_lengths)"
-        )
+        return count_reads_supermer_ext(codes, lengths, cfg, mesh)
     mesh = mesh or make_mesh()
     num_shards = mesh.devices.size
 
@@ -451,3 +447,131 @@ def count_fasta_multihost_supermer(fasta_path: str, cfg: KmerConfig):
 
     codes, lengths = multihost.read_my_shard(fasta_path, cfg)
     return count_reads_supermer_exchange(codes, lengths, cfg)
+
+
+# ---------------------------------------------------------------------------
+# EXTENSION mode: the reference ships {len, pos, rid} per supermer
+# (include/kmer.hpp:348-360) and extracts per-occurrence payloads on the
+# receive side. Same here: the wire adds 8 B/supermer of run metadata and
+# the owner shard derives every k-mer's (rid, pos) with O(n) diff-scatter
+# scans (ops/wire.fill_run_meta) — never a gather.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_shards", "block_len", "mesh")
+)
+def _count_supermer_ext_jit(
+    packed, lengths, rid0, pos0, *, cfg, num_shards, block_len, mesh
+):
+    from ..ops import count as count_ops, wire
+
+    def body(pk, ln, r0, p0):
+        codes, valid = wire.decode_block(pk, ln, cfg.k, block_len)
+        rid, pos = wire.fill_run_meta(ln, r0, p0, block_len)
+        words = kmer_ops.canonical_words(codes.astype(jnp.int32), cfg.k)
+        invalid = (~valid).astype(jnp.uint32)
+        inv_s, words_s, payloads_s = sort_ops.sort_keys(
+            invalid, words,
+            payloads=[rid.astype(jnp.uint32), pos],
+            backend=cfg.sort_backend,
+        )
+        svalid = inv_s == 0
+        head, cnt = count_ops.run_length_count(svalid, words_s)
+        lower, upper = (
+            (1, 2**31 - 1) if cfg.unfiltered else (cfg.lower, cfg.upper)
+        )
+        keep = count_ops.frequency_filter(head, cnt, lower, upper)
+        return tuple(words_s), cnt, keep, payloads_s[0], payloads_s[1]
+
+    word_specs = tuple(P(SHARD_AXIS) for _ in range(cfg.words))
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 4,
+        out_specs=(word_specs,) + (P(SHARD_AXIS),) * 4,
+        check_rep=False,
+    )(packed, lengths, rid0, pos0)
+
+
+def count_reads_supermer_ext(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    mesh: Optional[Mesh] = None,
+    read_id_offset: int = 0,
+):
+    """EXT supermer dispatch: per-kmer (rid, pos) occurrence lists with the
+    run-format wire (+8 B/supermer of {rid0, pos0} headers)."""
+    from ..io import fasta as fasta_io, supermer as supermer_io
+    from ..pipeline import (
+        KmerListExt, compact_keys, host_histogram, resolved_cfg,
+        split_occurrences,
+    )
+    from . import dispatch
+
+    assert cfg.extension and cfg.routing == "supermer", cfg
+    mesh = mesh or make_mesh()
+    num_shards = mesh.devices.size
+
+    flat_codes, flat_valid = fasta_io.flatten_for_device(
+        codes, lengths, cfg.k, cfg.pad_multiple
+    )
+    num_buckets = num_shards * cfg.avg_buckets_per_shard
+    dest = host_destinations(flat_codes, cfg.k, cfg.m, num_buckets)
+    sizes = np.bincount(
+        dest[flat_valid.astype(bool)], minlength=num_buckets
+    ).astype(np.int64)
+    if cfg.dispatcher == "balanced":
+        assign = dispatch.balanced_assignment(sizes, num_shards)
+    else:
+        assign = dispatch.round_robin_assignment(num_buckets, num_shards)
+    shard_of = assign[dest]
+
+    streams = supermer_io.encode_supermer_streams_ext(
+        flat_codes, flat_valid, shard_of, cfg.k, num_shards,
+        lengths, read_id_offset,
+    )
+    gran = int(np.lcm(16, cfg.pad_multiple))
+    raw = max(max(c.shape[0] for c, *_ in streams) + 16, gran)
+    block_len = -(-raw // gran) * gran
+    lmax = max(max(l.shape[0] for _, l, *_ in streams), 1)
+
+    packed = np.zeros((num_shards, block_len // 16), dtype=np.uint32)
+    lens2d = np.zeros((num_shards, lmax), dtype=np.int32)
+    rid2d = np.zeros((num_shards, lmax), dtype=np.int32)
+    pos2d = np.zeros((num_shards, lmax), dtype=np.uint32)
+    for s, (c, l, r, p) in enumerate(streams):
+        buf = np.zeros(block_len, dtype=np.int8)
+        buf[: c.shape[0]] = c
+        packed[s] = supermer_io.pack_codes_2bit(buf)
+        lens2d[s, : l.shape[0]] = l
+        rid2d[s, : r.shape[0]] = r
+        pos2d[s, : p.shape[0]] = p
+
+    cfg2 = resolved_cfg(cfg, block_len, extra_operands=2)
+    keys, cnt, keep, srid, spos = _count_supermer_ext_jit(
+        jnp.asarray(packed.reshape(-1)),
+        jnp.asarray(lens2d.reshape(-1)),
+        jnp.asarray(rid2d.reshape(-1)),
+        jnp.asarray(pos2d.reshape(-1)),
+        cfg=cfg2, num_shards=num_shards, block_len=block_len, mesh=mesh,
+    )
+
+    keep_np = np.asarray(keep)
+    cnt_np = np.asarray(cnt)
+    starts = np.flatnonzero(keep_np)
+    counts = cnt_np[starts]
+    pos_runs, rid_runs = split_occurrences(
+        starts, counts,
+        np.asarray(spos).astype(np.uint32),
+        np.asarray(srid).astype(np.int32),
+    )
+    result = KmerListExt(
+        keys=compact_keys(keys, keep_np),
+        counts=counts,
+        k=cfg.k,
+        pos=pos_runs,
+        rid=rid_runs,
+    )
+    return result, host_histogram(result.counts, cfg.upper)

@@ -142,13 +142,26 @@ def _device_resident_budget_ok(
     merge? Peak = runs x run_len x (words+1) x 4 B for the retained
     partials PLUS the same again for the merge output, with ~25% slack for
     XLA temporaries."""
+    import jax
+
     from . import memcheck
 
     next_pow2 = lambda x: 1 << max(int(x) - 1, 0).bit_length()
     runs = next_pow2(max(n_batches, 1))
-    need = int(2.5 * runs * target * (words + 1) * 4)
+    # Transient peak = retained partials (runs x run_len x (W+1) x 4 B,
+    # donated into the merge) + the merge output of the same size, plus a
+    # 5% allowance for scan temporaries => ~2.1x retained. A miss is not
+    # fatal: a compile-time HBM OOM drains the partials to the host path.
+    need = int(2.1 * runs * target * (words + 1) * 4)
     headroom = memcheck.hbm_headroom_bytes(device)
-    return headroom is not None and need < headroom
+    if headroom is None:
+        # Backend doesn't report memory stats (some TPU plugins): assume
+        # ~14 GB usable of a 16 GB v5e-class chip; refuse on CPU (host RAM
+        # pulls are cheap there anyway).
+        if jax.default_backend() == "cpu":
+            return False
+        headroom = 14 * 1024**3
+    return need < headroom
 
 
 def count_reads_streaming(
@@ -214,6 +227,13 @@ def count_reads_streaming(
         and target & (target - 1) == 0
         and _device_resident_budget_ok(n_batches, target, cfg.words)
     )
+    if cfg.device_compact:
+        import logging
+
+        logging.getLogger("hysortk_tpu").info(
+            "streaming: %d batches, target=%d, device_resident=%s",
+            n_batches, target, device_resident,
+        )
 
     def _drain_device_partials():
         """Pull retained device partials to host (fallback path)."""
@@ -293,9 +313,15 @@ def count_reads_streaming(
             )
             result = KmerList(keys_np, cnts_np, cfg.k)
             return result, host_histogram(result.counts, cfg.upper)
-        except (RuntimeError, jax.errors.JaxRuntimeError):
+        except (RuntimeError, jax.errors.JaxRuntimeError) as e:
             # Merge didn't fit HBM after all (budget heuristic missed):
             # pull the compacted partials and finish host-side.
+            import logging
+
+            logging.getLogger("hysortk_tpu").warning(
+                "device-resident merge failed (%s); draining to host",
+                type(e).__name__,
+            )
             _drain_device_partials()
 
     if not partial_keys:
@@ -363,17 +389,28 @@ def _merge_device_resident(dev_words, dev_cnts, cfg, run_len):
 
     @functools.partial(
         jax.jit,
-        static_argnames=("sort_backend",),
-        donate_argnums=(0, 1, 2),
+        static_argnames=("sort_backend", "chunk"),
     )
-    def compact(words_s, total, keep, *, sort_backend):
+    def compact_chunk(words_s, total, keep, off, *, sort_backend, chunk):
+        """Fold + sort ONE static slice of the merged result. The merged
+        array is globally sorted, so compacting run_len-sized chunks
+        independently and concatenating preserves order — and every chunk
+        reuses the per-batch compact sort's compiled shape instead of
+        compiling a sort at runs x run_len (giant-program compiles through
+        remote backends measure in hours)."""
         full = jnp.uint32(0xFFFFFFFF)
-        folded = [jnp.where(keep, w, full) for w in words_s]
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, off, chunk)
+        keep_c = sl(keep)
+        folded = [jnp.where(keep_c, sl(w), full) for w in words_s]
         _, cw, cp = sort_ops.sort_marked(
-            folded, [total.astype(jnp.uint32)], backend=sort_backend
+            folded, [sl(total).astype(jnp.uint32)], backend=sort_backend
         )
-        return tuple(cw), cp[0], jnp.sum(keep.astype(jnp.int32))
+        return tuple(cw), cp[0], jnp.sum(keep_c.astype(jnp.int32))
 
+    import logging
+
+    log = logging.getLogger("hysortk_tpu")
+    log.info("device-resident merge: %d runs x %d", runs, run_len)
     words_s, total, keep = merge(
         tuple(tuple(p) for p in dev_words),
         tuple(dev_cnts),
@@ -383,12 +420,24 @@ def _merge_device_resident(dev_words, dev_cnts, cfg, run_len):
         run_len=run_len,
         pad_runs=pad_runs,
     )
-    keys_s, cnt_s, n_kept = compact(
-        list(words_s), total, keep, sort_backend=cfg.sort_backend
-    )
-    nk = int(jax.device_get(n_kept))
-    pulled = pull_prefix(list(keys_s) + [cnt_s], nk)
-    return np.stack(pulled[:-1], axis=-1), pulled[-1].astype(np.int32)
+    out_k, out_c = [], []
+    for off in range(0, runs * run_len, run_len):
+        log.info("device-resident compact: chunk at %d", off)
+        keys_s, cnt_s, n_kept = compact_chunk(
+            list(words_s), total, keep, jnp.int32(off),
+            sort_backend=cfg.sort_backend, chunk=run_len,
+        )
+        nk = int(jax.device_get(n_kept))
+        if nk == 0:
+            continue
+        pulled = pull_prefix(list(keys_s) + [cnt_s], nk)
+        out_k.append(np.stack(pulled[:-1], axis=-1))
+        out_c.append(pulled[-1].astype(np.int32))
+    if not out_k:
+        return (
+            np.zeros((0, cfg.words), np.uint32), np.zeros(0, np.int32)
+        )
+    return np.concatenate(out_k), np.concatenate(out_c)
 
 
 def _merge_chunk_jit():

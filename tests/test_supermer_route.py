@@ -112,9 +112,47 @@ def test_supermer_streams_roundtrip_and_density():
     assert wire <= total_supermer_bases / 4 + 4 * n_supermers + 8
 
 
-def test_supermer_route_rejects_extension():
-    with pytest.raises(ValueError, match="supermer"):
-        KmerConfig(k=31, m=17, routing="supermer", extension=True)
+def test_supermer_route_extension_occurrences():
+    """EXT under supermer routing: {len, pos, rid} run headers on the wire
+    (reference include/kmer.hpp:348-360), per-kmer (rid, pos) derived on
+    device with diff-scatter scans (ops/wire.fill_run_meta)."""
+    rng = np.random.default_rng(55)
+    reads = oracle.random_reads(rng, 28, 35, 100)
+    reads = reads + reads[:14] + reads[:4]
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer",
+                     extension=True, pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    kl, hist = supermer_route.count_reads_supermer_ext(
+        codes, lengths, cfg, make_mesh()
+    )
+    occ = oracle.oracle_occurrences(reads, cfg.k)
+    filt = oracle.oracle_filtered(reads, cfg.k, cfg.lower, cfg.upper)
+    got = {
+        km.decode(): set((int(r), int(p)) for r, p in zip(rr, pp))
+        for km, rr, pp in zip(kl.decoded(), kl.rid, kl.pos)
+    }
+    assert got == {km: occ[km] for km in filt}
+    counts = np.asarray(sorted(filt.values()))
+    np.testing.assert_array_equal(
+        np.bincount(counts, minlength=cfg.upper + 1)[: cfg.upper + 1], hist
+    )
+
+
+def test_supermer_ext_via_count_reads_sharded_ext():
+    from hysortk_tpu.parallel.pipeline import count_reads_sharded_ext
+
+    rng = np.random.default_rng(57)
+    reads = oracle.random_reads(rng, 20, 40, 90) * 2
+    cfg = KmerConfig(k=15, m=7, lower=1, upper=500, routing="supermer",
+                     extension=True, pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    kl, _ = count_reads_sharded_ext(codes, lengths, cfg, make_mesh())
+    occ = oracle.oracle_occurrences(reads, cfg.k)
+    got = {
+        km.decode(): set((int(r), int(p)) for r, p in zip(rr, pp))
+        for km, rr, pp in zip(kl.decoded(), kl.rid, kl.pos)
+    }
+    assert got == occ
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
