@@ -54,6 +54,7 @@ __all__ = [
     "count_fasta_multihost_streaming",
     "count_fasta_multihost_ext_streaming",
     "count_reads_supermer",
+    "count_reads_supermer_ext",
     "count_reads_supermer_exchange",
     "count_fasta_multihost_supermer",
 ]
@@ -73,6 +74,7 @@ def __getattr__(name):
         return getattr(_pp, name)
     if name in (
         "count_reads_supermer",
+        "count_reads_supermer_ext",
         "count_reads_supermer_exchange",
         "count_fasta_multihost_supermer",
     ):

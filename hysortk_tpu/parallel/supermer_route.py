@@ -45,6 +45,7 @@ from .pipeline import _count_merged
 
 __all__ = [
     "count_reads_supermer",
+    "count_reads_supermer_ext",
     "count_reads_supermer_exchange",
     "count_fasta_multihost_supermer",
     "host_destinations",
@@ -230,12 +231,12 @@ def count_reads_supermer(
 
 
 def split_stream(
-    c: np.ndarray, ln: np.ndarray, parts: int
-) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Split one (codes, lengths) stream into `parts` contiguous sub-streams
-    on supermer boundaries, balanced by bases."""
+    c: np.ndarray, ln: np.ndarray, parts: int, *extras: np.ndarray
+) -> list[tuple[np.ndarray, ...]]:
+    """Split one (codes, lengths, *per-run extras) stream into `parts`
+    contiguous sub-streams on supermer boundaries, balanced by bases."""
     if parts == 1:
-        return [(c, ln)]
+        return [(c, ln, *extras)]
     bases_end = np.cumsum(ln.astype(np.int64))
     total = int(bases_end[-1]) if ln.size else 0
     # First supermer index of each part: balanced prefix targets.
@@ -248,6 +249,7 @@ def split_stream(
         (
             c[base_bounds[i] : base_bounds[i + 1]],
             ln[bounds[i] : bounds[i + 1]],
+            *(e[bounds[i] : bounds[i + 1]] for e in extras),
         )
         for i in range(parts)
     ]
@@ -308,14 +310,17 @@ def count_reads_supermer_exchange(
     lengths: np.ndarray,
     cfg: KmerConfig,
     mesh: Optional[Mesh] = None,
+    read_id_offset: int = 0,
 ):
     """Supermer pipeline with the on-fabric exchange. Works at any process
     count: single-process it is an equality twin of count_reads_supermer
     (useful on CPU meshes and for the smoke tests); multi-process it is THE
     path — each host routes only through its own devices and the supermer
-    wire crosses hosts inside the all_to_all.
+    wire crosses hosts inside the all_to_all. In EXT mode segments carry
+    the reference's {len, pos, rid} run headers (include/kmer.hpp:348-360)
+    and the owner shard derives per-k-mer payloads after the exchange.
 
-    Returns (this process's KmerList shard, global histogram).
+    Returns (this process's KmerList[Ext] shard, global histogram).
     """
     from ..io import fasta as fasta_io, supermer as supermer_io
     from ..pipeline import (
@@ -323,11 +328,7 @@ def count_reads_supermer_exchange(
     )
     from . import dispatch, multihost
 
-    if cfg.extension:
-        raise ValueError(
-            "extension mode is not supported under supermer routing yet; "
-            "use routing='range'"
-        )
+    ext = cfg.extension
     mesh = mesh or Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
     num_shards = mesh.devices.size
     pidx = jax.process_index()
@@ -357,14 +358,21 @@ def count_reads_supermer_exchange(
         assign = dispatch.round_robin_assignment(num_buckets, num_shards)
     shard_of = assign[dest]
 
-    streams = supermer_io.encode_supermer_streams(
-        flat_codes, flat_valid, shard_of, cfg.k, num_shards
-    )
+    if ext:
+        streams = supermer_io.encode_supermer_streams_ext(
+            flat_codes, flat_valid, shard_of, cfg.k, num_shards,
+            lengths, read_id_offset,
+        )
+    else:
+        streams = supermer_io.encode_supermer_streams(
+            flat_codes, flat_valid, shard_of, cfg.k, num_shards
+        )
     # Segment (src local device, dst shard): this host's per-dst stream
     # split across its local devices on supermer boundaries.
     segs = [[None] * num_shards for _ in range(n_local)]
-    for s, (c, ln) in enumerate(streams):
-        for d, sub in enumerate(split_stream(c, ln, n_local)):
+    for s, stream in enumerate(streams):
+        for d, sub in enumerate(split_stream(*stream[:2], n_local,
+                                             *stream[2:])):
             segs[d][s] = sub
 
     cmax = max(
@@ -388,34 +396,48 @@ def count_reads_supermer_exchange(
         (n_local, num_shards, block_len // 16), dtype=np.uint32
     )
     lens = np.zeros((n_local, num_shards, lmax), dtype=np.int32)
+    rid0 = np.zeros((n_local, num_shards, lmax), dtype=np.int32)
+    pos0 = np.zeros((n_local, num_shards, lmax), dtype=np.uint32)
     for d in range(n_local):
         for s in range(num_shards):
-            c, ln = segs[d][s]
+            c, ln = segs[d][s][:2]
             buf = np.zeros(block_len, dtype=np.int8)
             buf[: c.shape[0]] = c
             packed[d, s] = supermer_io.pack_codes_2bit(buf)
             lens[d, s, : ln.shape[0]] = ln
+            if ext:
+                r, p = segs[d][s][2:]
+                rid0[d, s, : r.shape[0]] = r
+                pos0[d, s, : p.shape[0]] = p
 
-    cfg2 = resolved_cfg(cfg, num_shards * block_len)
-    if multiproc:
+    cfg2 = resolved_cfg(
+        cfg, num_shards * block_len, extra_operands=2 if ext else 0
+    )
+
+    def globalize(arr):
+        if not multiproc:
+            return jnp.asarray(arr.reshape(-1))
         from jax.sharding import NamedSharding
 
         sharding = NamedSharding(mesh, P(SHARD_AXIS))
-        row = num_shards * block_len // 16
-        packed_g = jax.make_array_from_process_local_data(
-            sharding, np.ascontiguousarray(packed.reshape(-1)),
-            (num_shards * row,),
+        flat = np.ascontiguousarray(arr.reshape(-1))
+        return jax.make_array_from_process_local_data(
+            sharding, flat, (num_shards * flat.size // n_local,)
         )
-        lens_g = jax.make_array_from_process_local_data(
-            sharding, np.ascontiguousarray(lens.reshape(-1)),
-            (num_shards * num_shards * lmax,),
+
+    if ext:
+        keys, cnt, keep, srid, spos = _exchange_count_supermer_ext_jit(
+            globalize(packed), globalize(lens), globalize(rid0),
+            globalize(pos0),
+            cfg=cfg2, num_shards=num_shards, block_len=block_len,
+            lmax=lmax, mesh=mesh,
         )
-    else:
-        packed_g = jnp.asarray(packed.reshape(-1))
-        lens_g = jnp.asarray(lens.reshape(-1))
+        return _assemble_ext(
+            keys, cnt, keep, srid, spos, cfg, multiproc
+        )
 
     keys, cnt, keep = _exchange_count_supermer_jit(
-        packed_g, lens_g,
+        globalize(packed), globalize(lens),
         cfg=cfg2, num_shards=num_shards, block_len=block_len, lmax=lmax,
         mesh=mesh,
     )
@@ -437,16 +459,62 @@ def count_reads_supermer_exchange(
     return kmerlist, host_histogram(kmerlist.counts, cfg.upper)
 
 
+def _assemble_ext(keys, cnt, keep, srid, spos, cfg, multiproc):
+    """Host assembly of EXT results (local shards under multi-process)."""
+    from ..pipeline import (
+        KmerListExt, compact_keys, host_histogram, split_occurrences,
+    )
+    from . import multihost
+
+    if multiproc:
+        pull = multihost._local_shards
+        keep_np = pull(keep)
+        keys_np = np.stack([pull(w)[keep_np] for w in keys], axis=-1)
+        cnt_np = pull(cnt)
+        srid_np = pull(srid).astype(np.int32)
+        spos_np = pull(spos).astype(np.uint32)
+    else:
+        keep_np = np.asarray(keep)
+        keys_np = compact_keys(keys, keep_np)
+        cnt_np = np.asarray(cnt)
+        srid_np = np.asarray(srid).astype(np.int32)
+        spos_np = np.asarray(spos).astype(np.uint32)
+    starts = np.flatnonzero(keep_np)
+    counts = cnt_np[starts]
+    pos_runs, rid_runs = split_occurrences(
+        starts, counts, spos_np, srid_np
+    )
+    result = KmerListExt(
+        keys=keys_np, counts=counts, k=cfg.k, pos=pos_runs, rid=rid_runs
+    )
+    if multiproc:
+        hist = multihost._global_histogram(result.counts, cfg.upper)
+    else:
+        hist = host_histogram(result.counts, cfg.upper)
+    return result, hist
+
+
 def count_fasta_multihost_supermer(fasta_path: str, cfg: KmerConfig):
     """Multi-host supermer pipeline: per-host reads -> supermer dispatch ->
     on-fabric supermer exchange -> local count. The cross-host wire is the
     reference's supermer format (~2 bits/base + 4 B/supermer,
     src/kmerops.cpp:1096-1148) instead of W x 4 B raw keys — the ~10x DCN
-    byte reduction of docs/dcn_wire.md, now shipped, not just analyzed."""
-    from . import multihost
+    byte reduction of docs/dcn_wire.md, now shipped, not just analyzed.
+    EXT mode adds the {len, pos, rid} run headers with globally-consistent
+    read ids (contiguous record partitions, like the reference's MPI_Exscan
+    of read counts, src/kmerops.cpp:66)."""
+    from ..io import fasta as fasta_io
 
-    codes, lengths = multihost.read_my_shard(fasta_path, cfg)
-    return count_reads_supermer_exchange(codes, lengths, cfg)
+    records = fasta_io.load_or_build_fai(fasta_path)
+    parts = fasta_io.partition_records(records, jax.process_count())
+    my_part = parts[jax.process_index()]
+    rid_offset = my_part[0] if my_part else 0
+    codes, lengths = fasta_io.read_records(
+        fasta_path, [records[i] for i in my_part]
+    )
+    return count_reads_supermer_exchange(
+        codes, lengths, cfg, read_id_offset=rid_offset
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -575,3 +643,64 @@ def count_reads_supermer_ext(
         rid=rid_runs,
     )
     return result, host_histogram(result.counts, cfg.upper)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_shards", "block_len", "lmax", "mesh"),
+)
+def _exchange_count_supermer_ext_jit(
+    packed, lengths, rid0, pos0, *, cfg, num_shards, block_len, lmax, mesh
+):
+    """EXT on-fabric exchange: the {len, rid, pos} run headers ride the same
+    all_to_all as the 2-bit payload (the reference ships them inline in the
+    supermer byte stream, include/kmer.hpp:348-360); the owner derives
+    per-k-mer payloads with diff-scatter scans before the payload sort."""
+    from ..ops import count as count_ops, wire
+
+    def body(pk, ln, r0, p0):
+        pk = pk.reshape(num_shards, block_len // 16)
+        ln = ln.reshape(num_shards, lmax)
+        r0 = r0.reshape(num_shards, lmax)
+        p0 = p0.reshape(num_shards, lmax)
+        a2a = lambda x: jax.lax.all_to_all(
+            x, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+        rpk, rln, rr0, rp0 = a2a(pk), a2a(ln), a2a(r0), a2a(p0)
+        codes = wire.unpack_codes(
+            rpk.reshape(-1), num_shards * block_len
+        )
+        valids, rids, poss = [], [], []
+        for i in range(num_shards):
+            valids.append(
+                wire.valid_from_lengths(rln[i], cfg.k, block_len)
+            )
+            r, p = wire.fill_run_meta(rln[i], rr0[i], rp0[i], block_len)
+            rids.append(r)
+            poss.append(p)
+        valid = jnp.concatenate(valids)
+        rid = jnp.concatenate(rids)
+        pos = jnp.concatenate(poss)
+        words = kmer_ops.canonical_words(codes.astype(jnp.int32), cfg.k)
+        invalid = (~valid).astype(jnp.uint32)
+        inv_s, words_s, payloads_s = sort_ops.sort_keys(
+            invalid, words,
+            payloads=[rid.astype(jnp.uint32), pos],
+            backend=cfg.sort_backend,
+        )
+        svalid = inv_s == 0
+        head, cnt = count_ops.run_length_count(svalid, words_s)
+        lower, upper = (
+            (1, 2**31 - 1) if cfg.unfiltered else (cfg.lower, cfg.upper)
+        )
+        keep = count_ops.frequency_filter(head, cnt, lower, upper)
+        return tuple(words_s), cnt, keep, payloads_s[0], payloads_s[1]
+
+    word_specs = tuple(P(SHARD_AXIS) for _ in range(cfg.words))
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 4,
+        out_specs=(word_specs,) + (P(SHARD_AXIS),) * 4,
+        check_rep=False,
+    )(packed, lengths, rid0, pos0)

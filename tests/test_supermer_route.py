@@ -196,3 +196,30 @@ def test_split_stream_boundaries():
     parts = supermer_route.split_stream(c[:40], ln[:1], 3)
     assert sum(p[1].size for p in parts) == 1
     assert sum(p[0].size for p in parts) == 40
+
+
+def test_supermer_exchange_extension_occurrences():
+    """EXT over the on-fabric supermer exchange: run headers ride the same
+    all_to_all; owner shards derive per-kmer (rid, pos) post-exchange."""
+    rng = np.random.default_rng(61)
+    reads = oracle.random_reads(rng, 24, 35, 100)
+    reads = reads + reads[:12]
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer",
+                     extension=True, pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    kl, hist = supermer_route.count_reads_supermer_exchange(
+        codes, lengths, cfg, make_mesh()
+    )
+    occ = oracle.oracle_occurrences(reads, cfg.k)
+    filt = oracle.oracle_filtered(reads, cfg.k, cfg.lower, cfg.upper)
+    got = {
+        km.decode(): set((int(r), int(p)) for r, p in zip(rr, pp))
+        for km, rr, pp in zip(kl.decoded(), kl.rid, kl.pos)
+    }
+    assert got == {km: occ[km] for km in filt}
+    # Equality with the direct-dispatch EXT path.
+    kl2, hist2 = supermer_route.count_reads_supermer_ext(
+        codes, lengths, cfg, make_mesh()
+    )
+    assert kl.as_dict() == kl2.as_dict()
+    np.testing.assert_array_equal(hist, hist2)
