@@ -99,6 +99,21 @@ sm_payload = {km.decode(): int(c)
               for km, c in zip(kl_sm.decoded(), kl_sm.counts)}
 with open(f"{tmp}/out/sm_{pid}.json", "w") as f:
     json.dump(sm_payload, f)
+# EXT over the supermer exchange: run headers ({len,pos,rid}) ride the
+# all_to_all; payload union must match the range-routed EXT result.
+cfg_sme = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer",
+                     extension=True, pad_multiple=128)
+kl_sme, hist_sme = supermer_route.count_fasta_multihost_supermer(
+    f"{tmp}/mp.fa", cfg_sme
+)
+assert np.array_equal(hist_sme, hist_ext)
+sme_payload = {
+    km.decode(): sorted((int(r), int(p)) for r, p in zip(rr.tolist(), pp.tolist()))
+    for km, rr, pp in zip(kl_sme.decoded(), kl_sme.rid, kl_sme.pos)
+}
+with open(f"{tmp}/out/sme_{pid}.json", "w") as f:
+    json.dump(sme_payload, f)
+
 # Density of this host's exchange stream: <= 2 bits/base + 4 B/supermer.
 flat_c, flat_v = fasta_io.flatten_for_device(
     codes_w, lengths_w, cfg_sm.k, cfg_sm.pad_multiple
@@ -153,6 +168,16 @@ if pid == 0:
         assert not (set(part) & set(sm_union)), "kmer owned by both shards"
         sm_union.update(part)
     assert {k.encode(): v for k, v in sm_union.items()} == want
+
+    # Supermer EXT union must equal the range-routed EXT union exactly.
+    sme_union = {}
+    for p in (0, 1):
+        with open(f"{tmp}/out/sme_{p}.json") as f:
+            part = json.load(f)
+        assert not (set(part) & set(sme_union)), "kmer owned by both shards"
+        sme_union.update(part)
+    got_sme = {km: [tuple(x) for x in v] for km, v in sme_union.items()}
+    assert got_sme == expected_ext, (len(got_sme), len(expected_ext))
     print(f"MULTIPROCESS OK: {len(got)} kmers (+EXT payloads +streaming +supermer exchange), 2 processes x 2 devices", flush=True)
 EOF
 }
