@@ -111,6 +111,25 @@ def _count_device_ext(
     return tuple(words_s), cnt, keep, payloads_s[0], payloads_s[1]
 
 
+def assemble_ext_result(keys, cnt, keep, srid, spos, cfg) -> "KmerListExt":
+    """Host assembly of EXT device outputs: compact kept keys, slice the
+    sorted payload streams into per-kmer occurrence lists."""
+    keep_np = np.asarray(keep)
+    cnt_np = np.asarray(cnt)
+    srid_np = np.asarray(srid).astype(np.int32)
+    spos_np = np.asarray(spos).astype(np.uint32)
+    starts = np.flatnonzero(keep_np)
+    counts = cnt_np[starts]
+    pos_runs, rid_runs = split_occurrences(starts, counts, spos_np, srid_np)
+    return KmerListExt(
+        keys=compact_keys(keys, keep_np),
+        counts=counts,
+        k=cfg.k,
+        pos=pos_runs,
+        rid=rid_runs,
+    )
+
+
 def count_flat_ext(
     codes: np.ndarray,
     valid: np.ndarray,
@@ -134,20 +153,7 @@ def count_flat_ext(
         upper,
         cfg.sort_backend,
     )
-    keep_np = np.asarray(keep)
-    cnt_np = np.asarray(cnt)
-    srid_np = np.asarray(srid).astype(np.int32)
-    spos_np = np.asarray(spos).astype(np.uint32)
-    starts = np.flatnonzero(keep_np)
-    counts = cnt_np[starts]
-    pos_runs, rid_runs = split_occurrences(starts, counts, spos_np, srid_np)
-    result = KmerListExt(
-        keys=compact_keys(keys, keep_np),
-        counts=counts,
-        k=cfg.k,
-        pos=pos_runs,
-        rid=rid_runs,
-    )
+    result = assemble_ext_result(keys, cnt, keep, srid, spos, cfg)
     return result, host_histogram(result.counts, cfg.upper)
 
 
@@ -281,6 +287,32 @@ def _count_device_packed_compact(
     )
     n_kept = jnp.sum(keep.astype(jnp.int32))
     return tuple(cw), cp[0], n_kept
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n", "lower", "upper", "sort_backend"),
+)
+def _count_device_ext_packed(
+    packed: jnp.ndarray,
+    lengths: jnp.ndarray,
+    rid_base: jnp.ndarray,
+    k: int,
+    n: int,
+    lower: int,
+    upper: int,
+    sort_backend: str,
+):
+    """Wire-fed EXT step: (rid, pos) derive on device from read lengths
+    (ops/wire.rid_pos_from_lengths) — EXT H2D equals the non-EXT wire plus
+    one scalar."""
+    from .ops import wire
+
+    codes, valid, rid, pos = wire.decode_block_ext(packed, lengths, k, n, 0)
+    rid = rid + rid_base[0]
+    return _count_device_ext(
+        codes, valid, rid, pos, k, lower, upper, sort_backend
+    )
 
 
 def pull_prefix(

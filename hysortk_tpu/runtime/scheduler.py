@@ -99,34 +99,55 @@ def count_reads_streaming_ext(
     merge host-side with the [L,U] filter applied to merged totals only —
     the reference's EXT-indifferent bounded round loop
     (src/kmerops.cpp:906-1007). Peak HBM is set by batch_bases."""
-    import dataclasses
-
-    from ..io import fasta as fasta_io
+    from ..io import supermer as supermer_io
     from ..pipeline import (
-        count_flat_ext,
+        _count_device_ext_packed,
+        assemble_ext_result,
         host_histogram,
         merge_ext_partials,
         resolved_cfg,
     )
 
     cfg = resolved_cfg(cfg, batch_bases, extra_operands=2)
-    cfg_pre = dataclasses.replace(cfg, unfiltered=True)
+    snapped = snap_batch_to_pow2_flat(batch_bases, cfg.pad_multiple)
+    if 0 < snapped <= batch_bases:
+        batch_bases = snapped
     target = -(-(batch_bases + 16) // cfg.pad_multiple) * cfg.pad_multiple
+    lmax = max(
+        (
+            ln.size
+            for _, ln in iter_read_batches(codes, lengths, batch_bases)
+        ),
+        default=1,
+    )
 
     partials = []
     rid_off = read_id_offset
     for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
-        flat, valid, rid, pos = fasta_io.flatten_for_device_ext(
-            b_codes, b_lengths, cfg.k, cfg.pad_multiple, rid_off
+        # 2-bit wire feed; (rid, pos) derive on device from read lengths.
+        n = target
+        if b_codes.size + 16 > target:
+            n = -(-(b_codes.size + 16) // cfg.pad_multiple) * cfg.pad_multiple
+        buf = np.zeros(n, dtype=np.int8)
+        buf[: b_codes.size] = b_codes
+        packed = supermer_io.pack_codes_2bit(buf)
+        lens = np.zeros(max(lmax, 1), dtype=np.int32)
+        lens[: b_lengths.size] = b_lengths
+        # Unfiltered per-batch pass: the [L,U] filter only applies to
+        # merged totals (see count_reads_streaming).
+        keys, cnt, keep, srid, spos = _count_device_ext_packed(
+            jnp.asarray(packed),
+            jnp.asarray(lens),
+            jnp.asarray([rid_off], dtype=jnp.int32),
+            cfg.k,
+            n,
+            1,
+            2**31 - 1,
+            cfg.sort_backend,
         )
-        if flat.shape[0] < target:
-            pad = target - flat.shape[0]
-            flat = np.concatenate([flat, np.zeros(pad, flat.dtype)])
-            valid = np.concatenate([valid, np.zeros(pad, bool)])
-            rid = np.concatenate([rid, np.zeros(pad, rid.dtype)])
-            pos = np.concatenate([pos, np.zeros(pad, pos.dtype)])
-        kl, _ = count_flat_ext(flat, valid, rid, pos, cfg_pre)
-        partials.append(kl)
+        partials.append(
+            assemble_ext_result(keys, cnt, keep, srid, spos, cfg)
+        )
         rid_off += b_lengths.size
 
     merged = merge_ext_partials(
