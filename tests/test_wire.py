@@ -130,3 +130,30 @@ def test_rid_pos_from_lengths_with_empty_reads():
     grid, gpos = np.asarray(grid), np.asarray(gpos)
     assert np.array_equal(grid[valid], rid[valid])
     assert np.array_equal(gpos[valid], pos[valid])
+
+
+def test_fill_run_meta_piecewise_fill():
+    """Per-run {rid0, pos0} headers -> per-position (rid, pos): arbitrary
+    (non-monotone) values, zero-length pad runs, tail padding."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hysortk_tpu.ops import wire
+
+    lengths = np.asarray([5, 3, 0, 4, 0, 0], dtype=np.int32)
+    rid0 = np.asarray([7, 2, 0, 9, 0, 0], dtype=np.int32)
+    pos0 = np.asarray([10, 0, 0, 3, 0, 0], dtype=np.uint32)
+    n = 16
+    rid, pos = wire.fill_run_meta(
+        jnp.asarray(lengths), jnp.asarray(rid0), jnp.asarray(pos0), n
+    )
+    rid, pos = np.asarray(rid), np.asarray(pos)
+    # run 0: positions 0-4 -> rid 7, pos 10..14
+    np.testing.assert_array_equal(rid[0:5], [7] * 5)
+    np.testing.assert_array_equal(pos[0:5], [10, 11, 12, 13, 14])
+    # run 1: positions 5-7 -> rid 2, pos 0..2
+    np.testing.assert_array_equal(rid[5:8], [2] * 3)
+    np.testing.assert_array_equal(pos[5:8], [0, 1, 2])
+    # run 3 (after a zero-length run): positions 8-11 -> rid 9, pos 3..6
+    np.testing.assert_array_equal(rid[8:12], [9] * 4)
+    np.testing.assert_array_equal(pos[8:12], [3, 4, 5, 6])
