@@ -53,7 +53,11 @@ def test_random_config_sharded_and_streaming(trial):
     lower = int(rng.integers(1, 3))
     upper = int(rng.integers(lower + 5, lower + 80))
     combiner = bool(rng.random() < 0.5)
-    routing = ["range", "minimizer", "kmer_hash"][int(rng.integers(3))]
+    routing = ["range", "minimizer", "kmer_hash", "supermer"][
+        int(rng.integers(4))
+    ]
+    if routing == "supermer":
+        combiner = False  # combiner is a key-exchange concept; no exchange here
     classifier = "heavy_hitter" if rng.random() < 0.5 else "plain"
     cfg = KmerConfig(
         k=k, m=m, lower=lower, upper=upper, pad_multiple=128,
@@ -81,7 +85,10 @@ def test_random_config_sharded_and_streaming(trial):
 
     from hysortk_tpu.runtime.scheduler import count_reads_streaming
 
+    cfg_st = cfg if cfg.routing != "supermer" else __import__(
+        "dataclasses"
+    ).replace(cfg, routing="range")
     st_list, _ = count_reads_streaming(
-        codes, lengths, cfg, batch_bases=max(4 * k, 64)
+        codes, lengths, cfg_st, batch_bases=max(4 * k, 64)
     )
     assert st_list.as_dict() == want, (k, m, lower, upper)
