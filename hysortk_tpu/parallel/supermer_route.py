@@ -111,10 +111,12 @@ def _pack_streams(
     return packed.reshape(-1), lens2d, block_len
 
 
-def wire_nbytes(streams: list[tuple[np.ndarray, np.ndarray]]) -> int:
-    """Exchange bytes this dispatch ships: 2 bits/base + 4 B/supermer."""
+def wire_nbytes(streams: list[tuple[np.ndarray, ...]]) -> int:
+    """Exchange bytes this dispatch ships: 2 bits/base + 4 B/supermer
+    (+8 B/supermer of {rid0, pos0} headers for EXT streams)."""
     return sum(
-        -(-int(c.shape[0]) // 4) + int(l.nbytes) for c, l in streams
+        -(-int(s[0].shape[0]) // 4) + sum(int(a.nbytes) for a in s[1:])
+        for s in streams
     )
 
 
