@@ -7,12 +7,15 @@ extracts + counts the k-mers it received locally (prepare_supermer
 src/kmerops.cpp:23-127, SupermerEncoder :1096-1148, exchange :587-643,
 receive-side parse :484-521). This module is the TPU-native form of that
 architecture: the host computes per-k-mer destinations with the minimizer
-scan (on the CPU backend of the SAME jitted scan the device pipelines use),
-encodes per-shard supermer run streams (io/supermer.encode_supermer_streams),
-and feeds every shard ONLY its own buckets' supermers over the 2-bit wire —
-so the device step needs NO all_to_all at all: each shard decodes, sorts and
-counts locally, and the per-shard result sets are disjoint by construction
-(equal canonical k-mers share their minimizer, hence their bucket and shard).
+scan (on the CPU backend of the SAME jitted scan the device pipelines use)
+and encodes per-shard supermer run streams (io/supermer). Two transports:
+single-host, every shard is fed ONLY its own buckets' supermers over the
+2-bit wire and the device step needs NO all_to_all (count_reads_supermer);
+across hosts, per-(src device, dst shard) segments cross the fabric in ONE
+all_to_all at supermer density and the owner decodes on device
+(count_reads_supermer_exchange). Either way keys never travel and the
+per-shard result sets are disjoint by construction (equal canonical k-mers
+share their minimizer, hence their bucket and shard).
 
 When to use it: the wire here IS the reference's DCN format (~2 bits/base +
 4 B/supermer). Over ICI the range pipeline's key exchange is faster (see
