@@ -87,9 +87,16 @@ def test_split_occurrences_vectorized_and_fast():
     a = np.arange(total, dtype=np.int64)
     b = a * 7
 
-    t0 = time.perf_counter()
-    ra, rb = split_occurrences(starts, counts, a, b)
-    elapsed = time.perf_counter() - t0
+    # Best of 3: a single measurement is load-sensitive when the suite
+    # saturates all host cores (the per-kmer-slice formulation this guards
+    # against took >5 s, so the 1 s bound keeps a wide margin).
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ra, rb = split_occurrences(starts, counts, a, b)
+        elapsed = min(elapsed, time.perf_counter() - t0)
+        if elapsed < 1.0:
+            break
     assert elapsed < 1.0, f"split_occurrences took {elapsed:.2f}s"
     assert len(ra) == n and len(rb) == n
     for i in (0, 1, n // 2, n - 1):
