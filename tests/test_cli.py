@@ -55,3 +55,53 @@ def test_cli_bad_config_rejected(tmp_path):
     fasta.write_text(">r0\nACGT\n")
     with pytest.raises(ValueError):
         cli.main([str(fasta), "-k", "200"])
+
+
+def test_cli_supermer_routing_end_to_end(tmp_path, capsys):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual CPU mesh")
+    rng = np.random.default_rng(12)
+    reads = oracle.random_reads(rng, 20, 35, 90)
+    reads = reads + reads[:8]
+    fasta = tmp_path / "s.fa"
+    with open(fasta, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    outdir = tmp_path / "out"
+    rc = cli.main(
+        [str(fasta), str(outdir), "-k", "31", "-m", "17", "-l", "2",
+         "-u", "50", "--routing", "supermer"]
+    )
+    assert rc == 0
+    got = writer.parse_output_files(str(outdir))
+    want = {k.encode(): v
+            for k, v in oracle.oracle_filtered(reads, 31, 2, 50).items()}
+    assert got == want
+
+
+def test_cli_device_compact_streaming(tmp_path):
+    rng = np.random.default_rng(13)
+    reads = oracle.random_reads(rng, 18, 40, 80) * 2
+    fasta = tmp_path / "d.fa"
+    with open(fasta, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    outdir = tmp_path / "out"
+    rc = cli.main(
+        [str(fasta), str(outdir), "-k", "31", "-m", "17", "-l", "1",
+         "-u", "500", "--single-device", "--device-compact",
+         "--stream-batch-bases", "600"]
+    )
+    assert rc == 0
+    got = writer.parse_output_files(str(outdir))
+    want = {k.encode(): v
+            for k, v in oracle.oracle_filtered(reads, 31, 1, 500).items()}
+    assert got == want
+
+
+def test_cli_supermer_streaming_rejected():
+    with pytest.raises(SystemExit):
+        cli.main(["x.fa", "--routing", "supermer",
+                  "--stream-batch-bases", "1000"])
