@@ -1035,19 +1035,12 @@ def build_ext_blocks(
 
 
 def batch_spans(lengths: np.ndarray, batch_bases: int) -> list[tuple[int, int]]:
-    """Read-index spans of the streaming batches (iter_read_batches's
-    batching rule, computed from lengths alone — no code copies)."""
-    spans = []
-    n = lengths.size
-    start = 0
-    while start < n:
-        end = start
-        acc = 0
-        while end < n and (acc == 0 or acc + lengths[end] <= batch_bases):
-            acc += int(lengths[end])
-            end += 1
-        spans.append((start, end))
-        start = end
+    """Read-index spans of the streaming batches — THE batching rule
+    (runtime/scheduler.read_batch_spans); shape pinning and the batch loop
+    must agree exactly or a mid-stream batch recompiles."""
+    from ..runtime.scheduler import read_batch_spans
+
+    spans = read_batch_spans(lengths, batch_bases)
     return spans
 
 

@@ -25,26 +25,43 @@ from ..config import KmerConfig
 from ..pipeline import KmerList
 
 
+def read_batch_spans(
+    lengths: np.ndarray, batch_bases: int
+) -> list[tuple[int, int]]:
+    """Read-index spans of ~batch_bases whole-read batches.
+
+    Vectorized (one searchsorted per batch over the base prefix sums)
+    instead of a per-read Python loop — the stream planner walks the spans
+    three times (shape pinning, batch count, the batch loop itself), which
+    at millions of reads would otherwise cost seconds per walk.
+    """
+    cum = np.cumsum(lengths.astype(np.int64))
+    n = lengths.size
+    spans = []
+    start = 0
+    base0 = 0
+    while start < n:
+        end = int(np.searchsorted(cum, base0 + batch_bases, side="right"))
+        if end == start:  # single read larger than the budget
+            end = start + 1
+        spans.append((start, end))
+        base0 = int(cum[end - 1])
+        start = end
+    return spans
+
+
 def iter_read_batches(
     codes: np.ndarray,
     lengths: np.ndarray,
     batch_bases: int,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Split (codes, lengths) into batches of whole reads, ~batch_bases each."""
-    offsets = np.concatenate([[0], np.cumsum(lengths)])
-    start = 0
-    n = lengths.size
-    while start < n:
-        end = start
-        acc = 0
-        while end < n and (acc == 0 or acc + lengths[end] <= batch_bases):
-            acc += int(lengths[end])
-            end += 1
+    offsets = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
+    for start, end in read_batch_spans(lengths, batch_bases):
         yield (
             codes[offsets[start] : offsets[end]],
             lengths[start:end],
         )
-        start = end
 
 
 def snap_batch_to_pow2_flat(batch_bases: int, pad_multiple: int) -> int:
