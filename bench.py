@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -41,7 +42,29 @@ def make_input(total_bases: int, read_len: int, k: int, seed: int = 0):
 
 
 def main():
+    # Fail FAST if the device backend is unreachable (a wedged TPU tunnel
+    # hangs backend discovery forever — with the GIL held, so in-process
+    # watchdog threads and signal handlers never run): an external killer
+    # process SIGKILLs us after 180 s unless init completes. No JSON line
+    # is printed; callers see the stderr note + a kill exit.
+    import subprocess
+
+    killer = subprocess.Popen(
+        ["/bin/sh", "-c",
+         f"sleep 180 && echo 'bench: device backend unreachable after "
+         f"180 s (TPU tunnel down?); no metric line' >&2 "
+         f"&& kill -9 {os.getpid()}"],
+    )
+
     import jax
+
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor an
+    # explicit cpu request via config (same workaround as tests/conftest).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     # Persistent compile cache: first-run remote compiles on tunneled TPUs
     # cost minutes; cached reruns skip them entirely.
@@ -60,6 +83,15 @@ def main():
                      fuse_count=True, sort_backend="auto")
 
     platform = jax.devices()[0].platform
+    killer.kill()
+    if platform == "cpu":
+        # Pallas kernels need interpret mode on CPU; the CPU smoke run
+        # exercises the XLA pipeline only.
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, fuse_keybuild=False, fuse_count=False, sort_backend="xla"
+        )
     # Sized so the flattened device array lands EXACTLY on 2^26: lax.sort
     # pads to the next power of two internally, and crossing the boundary
     # by even one pad block costs ~26% (measured 244.9 vs 309.4 ms).
