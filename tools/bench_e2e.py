@@ -163,7 +163,9 @@ def report() -> None:
         "wall_ratio_incl_startup": round(
             ref["wall_seconds"] / tpu["wall_seconds_incl_startup"], 2),
     }
-    path = os.path.join(REPO, "E2E.json")
+    # E2E.json at the repo root is the curated record (wall numbers +
+    # decomposition + link measurements); the raw report lands next to it.
+    path = os.path.join(REPO, "E2E_report.json")
     json.dump(out, open(path, "w"), indent=1)
     print(json.dumps(out, indent=1))
 
