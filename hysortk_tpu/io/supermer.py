@@ -57,6 +57,15 @@ def run_boundaries(
     SupermerEncoder boundary rule, src/kmerops.cpp:1096-1148). Returns
     (run_start_flat, run_bases, run_dest); dest is only read where valid.
     """
+    max_kmers = MAX_SUPERMER_LEN - k + 1
+    from . import native
+
+    if native.available():
+        nat = native.run_boundaries(valid, dest, max_kmers)
+        if nat is not None:
+            starts_n, kmers_n, dest_n = nat
+            return starts_n, kmers_n + k - 1, dest_n.astype(np.int64)
+
     valid = valid.astype(bool)
     idx = np.flatnonzero(valid)
     empty = np.zeros(0, np.int64)
@@ -135,15 +144,33 @@ def encode_supermer_streams(
         sel = np.flatnonzero(run_dest == b)
         st = run_start_flat[sel]
         ln = run_bases[sel]
-        total = int(ln.sum())
-        if total == 0:
-            out.append((np.zeros(0, np.int8), np.zeros(0, np.uint32)))
-            continue
-        sup = np.repeat(np.arange(ln.size, dtype=np.int64), ln)
-        off = np.concatenate([[0], np.cumsum(ln)[:-1]])
-        idx = st[sup] + (np.arange(total, dtype=np.int64) - off[sup])
-        out.append((codes[idx].astype(np.int8), ln.astype(np.uint32)))
+        out.append((_gather_stream(codes, st, ln), ln.astype(np.uint32)))
     return out
+
+
+def _gather_stream(
+    codes: np.ndarray, starts: np.ndarray, bases: np.ndarray
+) -> np.ndarray:
+    """Concatenate codes[start : start+bases) per run (native memcpy path,
+    vectorized-index numpy fallback)."""
+    total = int(bases.sum())
+    if total == 0:
+        return np.zeros(0, np.int8)
+    off = np.concatenate([[0], np.cumsum(bases.astype(np.int64))[:-1]])
+    from . import native
+
+    if native.available():
+        g = native.gather_runs(
+            codes.astype(np.int8, copy=False), starts.astype(np.int64),
+            bases.astype(np.int64), off, total,
+        )
+        if g is not None:
+            return g
+    sup = np.repeat(np.arange(bases.size, dtype=np.int64), bases)
+    idx = starts.astype(np.int64)[sup] + (
+        np.arange(total, dtype=np.int64) - off[sup]
+    )
+    return codes[idx].astype(np.int8)
 
 
 def _pack_runs(
@@ -274,18 +301,8 @@ def encode_supermer_streams_ext(
         sel = np.flatnonzero(run_dest == b)
         st = run_start_flat[sel]
         ln = run_bases[sel]
-        total = int(ln.sum())
-        if total == 0:
-            out.append((
-                np.zeros(0, np.int8), np.zeros(0, np.uint32),
-                np.zeros(0, np.int32), np.zeros(0, np.uint32),
-            ))
-            continue
-        sup = np.repeat(np.arange(ln.size, dtype=np.int64), ln)
-        off = np.concatenate([[0], np.cumsum(ln)[:-1]])
-        idx = st[sup] + (np.arange(total, dtype=np.int64) - off[sup])
         out.append((
-            codes[idx].astype(np.int8),
+            _gather_stream(codes, st, ln),
             ln.astype(np.uint32),
             (rid_all[sel] + read_id_offset).astype(np.int32),
             pos_all[sel].astype(np.uint32),

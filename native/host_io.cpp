@@ -129,4 +129,51 @@ int64_t hk_format_output(const uint32_t *keys, const int32_t *counts,
   return pos;
 }
 
+// Supermer run decomposition of the flat k-mer stream (the reference's
+// SupermerEncoder boundary rule, src/kmerops.cpp:1096-1148): a run is a
+// maximal stretch of consecutive valid k-mer starts sharing a destination,
+// split every max_kmers starts (the 250-base cap). One sequential pass
+// (each boundary depends on the previous position — the numpy formulation
+// instead pays ~8 full-array passes); fills out_start (flat index of the
+// run's first k-mer), out_kmers and out_dest; returns the run count.
+// Output buffers must hold n entries.
+int64_t hk_run_boundaries(const uint8_t *valid, const int32_t *dest,
+                          int64_t n, int64_t max_kmers,
+                          int64_t *out_start, int64_t *out_kmers,
+                          int32_t *out_dest) {
+  int64_t runs = 0;
+  int64_t prev = -2;        // last valid flat position
+  int64_t run_pos = 0;      // k-mers since the UNCAPPED run's start
+  int32_t cur_dest = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!valid[i]) continue;
+    const int32_t d = dest[i];
+    const bool new_run = (i != prev + 1) || (d != cur_dest);
+    if (new_run) run_pos = 0;
+    if (new_run || (run_pos % max_kmers) == 0) {
+      out_start[runs] = i;
+      out_kmers[runs] = 0;
+      out_dest[runs] = d;
+      ++runs;
+    }
+    ++out_kmers[runs - 1];
+    ++run_pos;
+    prev = i;
+    cur_dest = d;
+  }
+  return runs;
+}
+
+// Concatenate per-run code slices codes[start .. start+bases) at the given
+// output offsets (caller prefix-sums the lengths) — the gather behind
+// per-bucket supermer streams (io/supermer.encode_supermer_streams).
+void hk_gather_runs(const int8_t *codes, const int64_t *starts,
+                    const int64_t *bases, const int64_t *out_off,
+                    int64_t n_runs, int8_t *out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < n_runs; ++r) {
+    memcpy(out + out_off[r], codes + starts[r], (size_t)bases[r]);
+  }
+}
+
 }  // extern "C"

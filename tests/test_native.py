@@ -75,3 +75,48 @@ def test_native_pack_2bit_matches_numpy():
     want = supermer.pack_codes_2bit(np.concatenate([codes, np.zeros(3, np.int8)]))
     # first 4096/16 words must agree (the 3 pad codes only touch the tail)
     assert np.array_equal(got, want[:256])
+
+
+def test_native_run_boundaries_matches_numpy():
+    """hk_run_boundaries vs the numpy formulation on fuzzed streams with
+    gaps, dest changes, and the 250-base cap."""
+    import numpy as np
+
+    from hysortk_tpu.io import native, supermer as supermer_io
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        n = int(rng.integers(50, 4000))
+        k = int(rng.integers(5, 40))
+        valid = rng.random(n) < 0.8
+        valid[-min(k, n):] = False
+        dest = rng.integers(0, 4, size=n).astype(np.int32)
+        # Long same-dest stretches to exercise the cap.
+        if trial % 2:
+            dest[:] = 1
+            valid[: n // 2] = True
+        max_kmers = supermer_io.MAX_SUPERMER_LEN - k + 1
+
+        nat = native.run_boundaries(valid, dest, max_kmers)
+        # numpy formulation (the fallback body of run_boundaries)
+        idx = np.flatnonzero(valid)
+        if idx.size == 0:
+            assert nat[0].size == 0
+            continue
+        d = dest[idx].astype(np.int64)
+        gap = np.empty(idx.size, dtype=bool)
+        gap[0] = True
+        gap[1:] = (idx[1:] != idx[:-1] + 1) | (d[1:] != d[:-1])
+        pos_in_run = np.arange(idx.size) - np.maximum.accumulate(
+            np.where(gap, np.arange(idx.size), 0)
+        )
+        gap = gap | (pos_in_run % max_kmers == 0) & (pos_in_run > 0)
+        starts = np.flatnonzero(gap)
+        kmers = np.diff(np.concatenate([starts, [idx.size]]))
+        np.testing.assert_array_equal(nat[0], idx[starts])
+        np.testing.assert_array_equal(nat[1], kmers)
+        np.testing.assert_array_equal(nat[2], d[starts].astype(np.int32))
