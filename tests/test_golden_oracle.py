@@ -78,3 +78,35 @@ def test_output_matches_reference_binary(fasta, tmp_path):
     ref_hist = writer.parse_histogram(proc.stdout)
     our_hist = writer.parse_histogram(writer.format_histogram(hist))
     assert our_hist == ref_hist
+
+
+def test_supermer_routing_matches_reference_binary(fasta, tmp_path):
+    """Golden equality for the supermer-dispatch pipeline: the reference's
+    own exchange architecture (supermers move, keys don't) must reproduce
+    the reference binary's {kmer, count} set byte-for-byte."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual CPU mesh")
+    from hysortk_tpu.io import fasta as fasta_io
+    from hysortk_tpu.parallel.mesh import make_mesh
+    from hysortk_tpu.parallel.supermer_route import (
+        count_reads_supermer, count_reads_supermer_exchange,
+    )
+
+    outdir = tmp_path / "ref_out"
+    outdir.mkdir()
+    proc = subprocess.run(
+        [ORACLE_BIN, fasta, str(outdir) + "/"],
+        capture_output=True, text=True, timeout=600,
+    )
+    proc.check_returncode()
+    want = writer.parse_output_files(str(outdir))
+
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer")
+    codes, lengths = read_dna_buffer(fasta)
+    mesh = make_mesh()
+    kl, _ = count_reads_supermer(codes, lengths, cfg, mesh)
+    assert kl.as_dict() == want
+    kl2, _ = count_reads_supermer_exchange(codes, lengths, cfg, mesh)
+    assert kl2.as_dict() == want
