@@ -15,16 +15,29 @@ not device work. Best of 3 such pipelined measurements.
 vs_baseline compares against the reference HySortK binary's k-mers/s measured
 on this machine's CPU (stored in baseline_cpu.json by tools/run_reference.py
 when the reference oracle has been built); falls back to 1.0 if absent.
+
+Process structure (survives TPU-tunnel flaps; round-3 lost its driver
+capture to one): the parent never imports jax. It first retries a tiny
+*init-only* probe child (`--probe`: import jax + jax.devices(), no compile
+— safe to kill, unlike a mid-compile client, which wedges this backend)
+until the device backend answers, then runs the real measurement in a
+`--child` process with the remaining time budget and relays its JSON line.
+Total budget ~560 s of the driver's 590 s.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+TOTAL_BUDGET_S = 560.0
+PROBE_TIMEOUT_S = 75.0
+PROBE_RETRY_PAUSE_S = 10.0
 
 
 def make_input(total_bases: int, read_len: int, k: int, seed: int = 0):
@@ -41,21 +54,7 @@ def make_input(total_bases: int, read_len: int, k: int, seed: int = 0):
     return fasta_io.flatten_for_device(codes, lengths, k, 8192)
 
 
-def main():
-    # Fail FAST if the device backend is unreachable (a wedged TPU tunnel
-    # hangs backend discovery forever — with the GIL held, so in-process
-    # watchdog threads and signal handlers never run): an external killer
-    # process SIGKILLs us after 180 s unless init completes. No JSON line
-    # is printed; callers see the stderr note + a kill exit.
-    import subprocess
-
-    killer = subprocess.Popen(
-        ["/bin/sh", "-c",
-         f"sleep 180 && echo 'bench: device backend unreachable after "
-         f"180 s (TPU tunnel down?); no metric line' >&2 "
-         f"&& kill -9 {os.getpid()}"],
-    )
-
+def _configure_jax():
     import jax
 
     # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor an
@@ -65,7 +64,6 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
-
     # Persistent compile cache: first-run remote compiles on tunneled TPUs
     # cost minutes; cached reruns skip them entirely.
     try:
@@ -75,6 +73,20 @@ def main():
         )
     except Exception:
         pass
+    return jax
+
+
+def probe() -> int:
+    """Init-only device probe: import jax, list devices, exit. No compile,
+    so killing a hung probe cannot orphan a server-side compilation."""
+    jax = _configure_jax()
+    print(jax.devices()[0].platform, flush=True)
+    return 0
+
+
+def child() -> int:
+    """The actual measurement (runs after a probe confirmed the backend)."""
+    jax = _configure_jax()
 
     from hysortk_tpu.config import KmerConfig
     from hysortk_tpu.pipeline import _count_device, resolved_cfg
@@ -83,7 +95,6 @@ def main():
                      fuse_count=True, sort_backend="auto")
 
     platform = jax.devices()[0].platform
-    killer.kill()
     if platform == "cpu":
         # Pallas kernels need interpret mode on CPU; the CPU smoke run
         # exercises the XLA pipeline only.
@@ -158,9 +169,78 @@ def main():
                 "single_call_s": round(single, 4),
                 "single_call_kmers_per_sec": round(n_kmers / single),
             }
-        )
+        ),
+        flush=True,
     )
+    return 0
+
+
+def _run_stage(argv, timeout_s, capture):
+    """Run a stage subprocess; on timeout kill that exact PID (never a
+    pattern). Returns (rc_or_None, stdout_text)."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + argv,
+        stdout=subprocess.PIPE if capture else None,
+        text=capture,
+    )
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+        return proc.returncode, out or ""
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            out, _ = proc.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            out = ""
+        return None, out or ""
+
+
+def main() -> int:
+    deadline = time.monotonic() + TOTAL_BUDGET_S
+
+    # Phase 1: retry the init-only probe until the backend answers. A
+    # wedged tunnel hangs backend discovery with the GIL held, so the hang
+    # must live in a killable child, and retrying gives a flapped tunnel
+    # time to come back (round 3's single 180 s watchdog did not).
+    attempts = 0
+    while True:
+        attempts += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 60:  # not enough left to measure anything
+            print(
+                f"bench: device backend unreachable after {attempts} probe "
+                f"attempts / ~{TOTAL_BUDGET_S:.0f}s; no metric line",
+                file=sys.stderr,
+            )
+            return 1
+        rc, out = _run_stage(
+            ["--probe"], min(PROBE_TIMEOUT_S, remaining - 60), capture=True
+        )
+        if rc == 0 and out.strip():
+            break
+        print(
+            f"bench: probe attempt {attempts} failed "
+            f"(rc={rc}); retrying", file=sys.stderr,
+        )
+        time.sleep(min(PROBE_RETRY_PAUSE_S, max(deadline - time.monotonic(), 0)))
+
+    # Phase 2: the real measurement, once, with the remaining budget. It
+    # streams its JSON line directly to our stdout. Not killed on timeout
+    # unless the budget is truly gone (killing mid-compile can wedge the
+    # backend; the probe passing makes a hang here unlikely, and .jax_cache
+    # makes compiles cheap on reruns).
+    remaining = max(deadline - time.monotonic(), 60.0)
+    rc, _ = _run_stage(["--child"], remaining, capture=False)
+    if rc == 0:
+        return 0
+    print(f"bench: measurement child rc={rc}; no metric line", file=sys.stderr)
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    if "--probe" in sys.argv:
+        sys.exit(probe())
+    elif "--child" in sys.argv:
+        sys.exit(child())
+    else:
+        sys.exit(main())

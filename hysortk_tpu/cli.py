@@ -32,9 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="upper frequency bound (default 40)")
     p.add_argument("--combiner", action="store_true",
                    help="pre-aggregate local duplicates before the exchange")
-    p.add_argument("--sort", choices=("xla", "pallas", "auto"), default="xla",
-                   help="device sort backend (auto: pick from HBM headroom, "
-                        "like the reference's runtime sort_decision)")
+    p.add_argument("--sort", choices=("xla", "pallas", "auto"), default="auto",
+                   help="device sort backend (default auto: pick from size + "
+                        "HBM headroom like the reference's runtime "
+                        "sort_decision — the Pallas member sort at n>=2^23, "
+                        "measured 1.56x lax.sort at 2^26 on chip)")
     p.add_argument("--routing",
                    choices=("range", "kmer_hash", "minimizer", "supermer"),
                    default="range",
@@ -176,9 +178,21 @@ def main(argv=None) -> int:
                         codes, lengths, cfg, args.stream_batch_bases
                     )
             elif jax.process_count() > 1:
-                from .parallel.multihost import count_fasta_multihost_ext
+                if cfg.routing == "supermer":
+                    # The supermer wire carries EXT {len,pos,rid} run
+                    # headers; count_fasta_multihost_ext would silently
+                    # fall back to the hash-mod exchange for this routing.
+                    from .parallel.supermer_route import (
+                        count_fasta_multihost_supermer,
+                    )
 
-                kmerlist, hist = count_fasta_multihost_ext(args.fasta, cfg)
+                    kmerlist, hist = count_fasta_multihost_supermer(
+                        args.fasta, cfg
+                    )
+                else:
+                    from .parallel.multihost import count_fasta_multihost_ext
+
+                    kmerlist, hist = count_fasta_multihost_ext(args.fasta, cfg)
             elif len(devices) > 1 and not args.single_device:
                 from .parallel.pipeline import count_reads_sharded_ext
 

@@ -101,8 +101,10 @@ def pack_sorted_ranges(
     starts = offsets[:-1]
 
     def carve(arr):
+        # Dtype-safe all-ones pad (-1 cast): jnp.full with a uint32 literal
+        # would raise at trace time for any future signed payload.
         ap = jnp.concatenate(
-            [arr, jnp.full((capacity,), jnp.uint32(0xFFFFFFFF), arr.dtype)]
+            [arr, jnp.full((capacity,), jnp.array(-1).astype(arr.dtype))]
         )
         rows = [
             jax.lax.dynamic_slice_in_dim(ap, starts[s], capacity)

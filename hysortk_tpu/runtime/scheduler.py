@@ -400,10 +400,15 @@ def _merge_device_resident(dev_words, dev_cnts, cfg, run_len):
     runs = next_pow2(len(dev_words))
     pad_runs = runs - len(dev_words)
 
+    # NOT donated: the caller's except handler drains these same partials
+    # to the host when the merge OOMs at RUNTIME (the exact miss the budget
+    # heuristic exists for) — donation would delete them and turn the
+    # graceful fallback into a hard crash. The budget already charges for
+    # inputs + outputs (~2.1x retained, _device_resident_budget_ok), so
+    # donation bought no headroom the plan relies on.
     @functools.partial(
         jax.jit,
         static_argnames=("words", "lower", "upper", "run_len", "pad_runs"),
-        donate_argnums=(0, 1),
     )
     def merge(parts_words, parts_cnts, *, words, lower, upper, run_len,
               pad_runs):
