@@ -147,16 +147,34 @@ def decode_keys(keys: np.ndarray, k: int) -> Optional[np.ndarray]:
         if n else np.zeros(0, dtype=f"S{k}")
 
 
-def format_output(keys: np.ndarray, counts: np.ndarray, k: int) -> Optional[bytes]:
+def format_output_into(
+    keys: np.ndarray, counts: np.ndarray, k: int, out: np.ndarray
+) -> Optional[int]:
+    """Render `kmer\\tcount\\n` rows into a caller-provided uint8 buffer
+    (capacity >= n*(k+12)); returns the byte count, or None without the
+    library. Zero-copy: the writer hands `memoryview(out)[:nbytes]`
+    straight to file.write — no zeroing, no bytes duplication (the
+    create_string_buffer version memset + copied ~1.4 GB per 2^24 rows)."""
     lib = _load()
     if lib is None:
         return None
     keys = np.ascontiguousarray(keys, dtype=np.uint32)
     counts = np.ascontiguousarray(counts, dtype=np.int32)
     n, w = keys.shape
-    buf = ctypes.create_string_buffer(n * (k + 12))
-    nbytes = lib.hk_format_output(keys, counts, n, w, k, buf)
-    return buf.raw[:nbytes]
+    assert out.dtype == np.uint8 and out.size >= n * (k + 12)
+    nbytes = lib.hk_format_output(
+        keys, counts, n, w, k, out.ctypes.data_as(ctypes.c_char_p)
+    )
+    return int(nbytes)
+
+
+def format_output(keys: np.ndarray, counts: np.ndarray, k: int) -> Optional[bytes]:
+    n = keys.shape[0]
+    out = np.empty(n * (k + 12), dtype=np.uint8)
+    nbytes = format_output_into(keys, counts, k, out)
+    if nbytes is None:
+        return None
+    return out[:nbytes].tobytes()
 
 
 def run_boundaries(

@@ -37,12 +37,36 @@ def format_output_lines(kmerlist: KmerList) -> bytes:
 
 
 def write_output_file(
-    kmerlist: KmerList, output_dir: str, shard: int = 0
+    kmerlist: KmerList, output_dir: str, shard: int = 0,
+    chunk_rows: int = 1 << 22,
 ) -> str:
+    """Write `<outdir>/<shard>.out` in row chunks through one reused
+    format buffer: each chunk renders with the OpenMP-parallel native
+    formatter (native/host_io.cpp hk_format_output) and goes to the file
+    as a memoryview — no per-chunk allocation or bytes copy, and peak
+    buffer memory stays ~chunk_rows x (k+12) B instead of the whole file
+    (multi-GB at genome scale). Reference writes per-rank files
+    concurrently (src/hysortk.cpp:138-164); single-shard runs rely on
+    this thread parallelism instead."""
+    from . import native
+
     os.makedirs(output_dir, exist_ok=True)
     path = os.path.join(output_dir, f"{shard}.out")
+    n = len(kmerlist)
     with open(path, "wb") as f:
-        f.write(format_output_lines(kmerlist))
+        if n == 0 or not native.available():
+            f.write(format_output_lines(kmerlist))
+            return path
+        k = kmerlist.k
+        counts32 = kmerlist.counts.astype(np.int32)
+        rows = min(n, chunk_rows)
+        buf = np.empty(rows * (k + 12), dtype=np.uint8)
+        for lo in range(0, n, rows):
+            hi = min(lo + rows, n)
+            nbytes = native.format_output_into(
+                kmerlist.keys[lo:hi], counts32[lo:hi], k, buf
+            )
+            f.write(memoryview(buf)[:nbytes])
     return path
 
 

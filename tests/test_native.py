@@ -120,3 +120,40 @@ def test_native_run_boundaries_matches_numpy():
         np.testing.assert_array_equal(nat[0], idx[starts])
         np.testing.assert_array_equal(nat[1], kmers)
         np.testing.assert_array_equal(nat[2], d[starts].astype(np.int32))
+
+
+def test_format_output_parallel_matches_fallback():
+    """The OpenMP two-pass formatter (per-chunk byte offsets) must be
+    byte-identical to the Python rendering at sizes spanning many chunks
+    and counts spanning every digit width."""
+    rng = np.random.default_rng(11)
+    n, k = 20000, 31
+    w = (k + 15) // 16
+    keys = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    counts = np.concatenate(
+        [np.array([1, 9, 10, 99, 100, 2**31 - 1], dtype=np.int32),
+         rng.integers(1, 10**6, size=n - 6, dtype=np.int32)]
+    )
+    got = native.format_output(keys, counts, k)
+    dec = native.decode_keys(keys, k)
+    want = b"".join(
+        d + b"\t" + str(int(c)).encode() + b"\n" for d, c in zip(dec, counts)
+    )
+    assert got == want
+
+
+def test_write_output_file_chunked(tmp_path):
+    """write_output_file with a tiny chunk_rows must produce the same file
+    as one-shot formatting (exercises the reused-buffer chunk loop)."""
+    from hysortk_tpu.io.writer import write_output_file, format_output_lines
+    from hysortk_tpu.pipeline import KmerList
+
+    rng = np.random.default_rng(5)
+    n, k = 1000, 21
+    w = (k + 15) // 16
+    keys = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    counts = rng.integers(1, 1000, size=n, dtype=np.int32)
+    kl = KmerList(keys, counts, k)
+    path = write_output_file(kl, str(tmp_path / "chunked"), chunk_rows=64)
+    with open(path, "rb") as f:
+        assert f.read() == format_output_lines(kl)
