@@ -86,19 +86,35 @@ def _global_histogram(counts: np.ndarray, upper: int) -> np.ndarray:
     return hist
 
 
-def _gather_kmerlist(keys, cnt, keep, cfg: KmerConfig, unmix: bool) -> KmerList:
-    """Assemble this host's KmerList from sharded device outputs."""
+def _gather_kmerlist(
+    keys, cnt, keep, cfg: KmerConfig, unmix: bool, spill=None
+) -> KmerList:
+    """Assemble this host's KmerList from sharded device outputs.
+
+    spill: optional (xw, xc, xk) leftover planes from the exact-capacity
+    range exchange (ops/spill.py) — kept leftover entries merge into the
+    local list before unmixing."""
     keep_local = _local_shards(keep)
     keys_local = np.stack(
         [_local_shards(w)[keep_local] for w in keys], axis=-1
     )
+    counts_local = _local_shards(cnt)[keep_local]
+    if spill is not None:
+        from .pipeline import _fold_leftover_np
+
+        xw, xc, xk = spill
+        keys_local, counts_local = _fold_leftover_np(
+            keys_local, counts_local,
+            [_local_shards(w) for w in xw],
+            _local_shards(xc), _local_shards(xk),
+        )
     if unmix:
         from ..ops import mixkey
 
         keys_local = mixkey.unmix_keys_np(keys_local)
     return KmerList(
         keys=keys_local,
-        counts=_local_shards(cnt)[keep_local],
+        counts=counts_local,
         k=cfg.k,
     )
 
@@ -192,11 +208,9 @@ def _count_multihost_packed(
     # pass returns for free (parallel/pipeline._range_exchange_merge) — no
     # measurement sweep; a skewed input costs one wasted pass (the caller
     # re-runs through the combiner), a balanced one costs zero.
-    capacity = shard_pipeline._next_pow2(
-        max(int(block / num_shards * cfg.capacity_factor), 64)
-    )
+    capacity = shard_pipeline.range_capacity(block, num_shards, cfg)
     for _attempt in range(6):
-        keys, cnt, keep, totals, overflow = (
+        keys, cnt, keep, xw, xc, xk, totals, overflow = (
             shard_pipeline._count_sharded_packed_jit(
                 packed_g, lens_g,
                 cfg=cfg, num_shards=num_shards, capacity=capacity,
@@ -212,7 +226,9 @@ def _count_multihost_packed(
         capacity *= 2
     else:
         raise RuntimeError("exchange capacity overflow after retries")
-    kmerlist = _gather_kmerlist(keys, cnt, keep, cfg, unmix=True)
+    kmerlist = _gather_kmerlist(
+        keys, cnt, keep, cfg, unmix=True, spill=(xw, xc, xk)
+    )
     return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)
 
 
@@ -263,15 +279,18 @@ def _count_multihost_unpacked(
         codes_g, valid_g, cfg, num_shards, mesh, block
     )
 
-    (keys, cnt, keep), _ = shard_pipeline.run_with_capacity_retry(
-        lambda cap: shard_pipeline._count_sharded_jit(
-            codes_g, valid_g, assign,
-            cfg=cfg2, num_shards=num_shards, capacity=cap, mesh=mesh,
-        ),
-        capacity, measured,
+    (keys, cnt, keep, xw, xc, xk, _totals), _ = (
+        shard_pipeline.run_with_capacity_retry(
+            lambda cap: shard_pipeline._count_sharded_jit(
+                codes_g, valid_g, assign,
+                cfg=cfg2, num_shards=num_shards, capacity=cap, mesh=mesh,
+            ),
+            capacity, measured,
+        )
     )
     kmerlist = _gather_kmerlist(
-        keys, cnt, keep, cfg, unmix=cfg2.routing == "range"
+        keys, cnt, keep, cfg, unmix=cfg2.routing == "range",
+        spill=(xw, xc, xk),
     )
     return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)
 
@@ -334,12 +353,54 @@ def count_fasta_multihost_streaming(
 
     partial_k: list[list[np.ndarray]] = [[] for _ in range(n_local_dev)]
     partial_c: list[list[np.ndarray]] = [[] for _ in range(n_local_dev)]
+    xpart_k: list[list[np.ndarray]] = [[] for _ in range(n_local_dev)]
+    xpart_c: list[list[np.ndarray]] = [[] for _ in range(n_local_dev)]
     plan = None
     heavy_pending = (
         cfg_pre.routing == "range"
         and not cfg_pre.combiner
         and cfg_pre.classifier == "heavy_hitter"
     )
+    # Comm/compute overlap (same protocol as the single-process streaming
+    # loop): up to `async_depth` batches in flight, overflow flags read at
+    # FIFO settle time. Every host reads the SAME replicated flag, so the
+    # settle/retry control flow stays collective-deterministic.
+    async_depth = 4
+    pending: list[tuple] = []
+
+    def _settle(entry) -> None:
+        nonlocal plan
+        outs, b_codes_g, b_valid_g = entry
+        for _attempt in range(6):
+            if int(jax.device_get(outs[-1])) == 0:
+                break
+            cfg_b, assign, capacity, measured = plan
+            capacity *= 2
+            plan = (cfg_b, assign, capacity, measured)
+            outs = shard_pipeline._count_sharded_jit(
+                b_codes_g, b_valid_g, assign,
+                cfg=cfg_b, num_shards=num_shards, capacity=capacity,
+                mesh=mesh,
+            )
+        else:
+            raise RuntimeError("exchange capacity overflow after retries")
+        keys, cnt, keep, xw, xc, xk, _totals, _overflow = outs
+        keep_l = _local_shards(keep)
+        cnt_l = _local_shards(cnt)
+        words_l = [_local_shards(w) for w in keys]
+        out_len = keep_l.shape[0] // n_local_dev
+        for d in range(n_local_dev):
+            sl = slice(d * out_len, (d + 1) * out_len)
+            km = keep_l[sl]
+            partial_k[d].append(
+                np.stack([w[sl][km] for w in words_l], axis=-1)
+            )
+            partial_c[d].append(cnt_l[sl][km].astype(np.uint32))
+        shard_pipeline._collect_leftover_partials(
+            [_local_shards(w) for w in xw], _local_shards(xc),
+            _local_shards(xk), n_local_dev, xpart_k, xpart_c,
+        )
+
     for i in range(nb):
         if i < len(spans):
             s, e = spans[i]
@@ -371,53 +432,52 @@ def count_fasta_multihost_streaming(
                 codes_g, valid_g, cfg_pre, num_shards, mesh, block
             )
         cfg_b, assign, capacity, measured = plan
-        for _attempt in range(6):
-            keys, cnt, keep, totals, overflow = (
-                shard_pipeline._count_sharded_jit(
+        outs = shard_pipeline._count_sharded_jit(
+            codes_g, valid_g, assign,
+            cfg=cfg_b, num_shards=num_shards, capacity=capacity,
+            mesh=mesh,
+        )
+        if heavy_pending:
+            # Batch 0 syncs once: classify gates later batches' programs.
+            heavy_pending = False
+            types = dispatch.classify(
+                np.asarray(outs[-2]), cfg_b.heavy_ratio
+            )
+            if bool((types == dispatch.HEAVY).any()):
+                cfg_b = dataclasses.replace(cfg_b, combiner=True)
+                plan = (cfg_b, assign, capacity, measured)
+                outs = shard_pipeline._count_sharded_jit(
                     codes_g, valid_g, assign,
                     cfg=cfg_b, num_shards=num_shards, capacity=capacity,
                     mesh=mesh,
                 )
-            )
-            if heavy_pending:
-                heavy_pending = False
-                types = dispatch.classify(
-                    np.asarray(totals), cfg_b.heavy_ratio
-                )
-                if bool((types == dispatch.HEAVY).any()):
-                    cfg_b = dataclasses.replace(cfg_b, combiner=True)
-                    plan = (cfg_b, assign, capacity, measured)
-                    continue
-            if int(jax.device_get(overflow)) == 0:
-                break
-            capacity *= 2
-            plan = (cfg_b, assign, capacity, measured)
-        else:
-            raise RuntimeError("exchange capacity overflow after retries")
-
-        keep_l = _local_shards(keep)
-        cnt_l = _local_shards(cnt)
-        words_l = [_local_shards(w) for w in keys]
-        out_len = keep_l.shape[0] // n_local_dev
-        for d in range(n_local_dev):
-            sl = slice(d * out_len, (d + 1) * out_len)
-            km = keep_l[sl]
-            partial_k[d].append(
-                np.stack([w[sl][km] for w in words_l], axis=-1)
-            )
-            partial_c[d].append(cnt_l[sl][km].astype(np.uint32))
+        pending.append((outs, codes_g, valid_g))
+        if len(pending) >= async_depth:
+            _settle(pending.pop(0))
+    while pending:
+        _settle(pending.pop(0))
 
     cfg_used = plan[0]
     w = cfg.words
+    # Leftover spill entries join as ONE extra sorted run per device; the
+    # run count is a collective shape, so every host pads to the global
+    # maximum partial count.
+    for d in range(n_local_dev):
+        xrun = shard_pipeline._leftover_run(xpart_k[d], xpart_c[d])
+        if xrun is not None:
+            partial_k[d].append(xrun[0])
+            partial_c[d].append(xrun[1])
+    npart = max((len(pk) for pk in partial_k), default=1)
     run_len = max((a.shape[0] for pk in partial_k for a in pk), default=1)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        run_len = int(
-            multihost_utils.process_allgather(np.asarray(run_len)).max()
+        dims = multihost_utils.process_allgather(
+            np.asarray([run_len, npart])
         )
+        run_len, npart = int(dims[:, 0].max()), int(dims[:, 1].max())
     run_len = shard_pipeline._next_pow2(max(run_len, 1))
-    n_runs = shard_pipeline._next_pow2(max(nb, 1))
+    n_runs = shard_pipeline._next_pow2(max(nb, npart, 1))
     local_k = np.full(
         (n_local_dev, n_runs, run_len, w), 0xFFFFFFFF, dtype=np.uint32
     )

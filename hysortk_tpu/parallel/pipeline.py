@@ -78,6 +78,91 @@ def run_with_capacity_retry(run, capacity: int, measured: bool):
     )
 
 
+def range_capacity(n_local: int, num_shards: int, cfg: KmerConfig) -> int:
+    """Exchange slot capacity for range routing.
+
+    Exact-capacity geometry (ops/spill.py): the merged plane is
+    next_pow2(mean) — 1x n_local when the batch is pow2-flat, where the
+    old next_pow2(capacity_factor * mean) rule always landed on 2x — plus
+    a small pow2 spill lane for the hash-uniform overhang
+    (sigma ~ sqrt(mean) << m/64). Mixed keys are hash-uniform per range,
+    so only duplicate-key skew can overflow; that is the heavy-hitter
+    classifier's job (combiner re-run), with the capacity-doubling retry
+    as the last resort. EXT keeps the legacy single-plane pow2 capacity
+    (occurrence payloads cannot ride the spill fold). Reference analogue:
+    exact receive preallocation, src/kmerops.cpp:439-471.
+    """
+    if cfg.extension:
+        return _next_pow2(
+            max(int(n_local / num_shards * cfg.capacity_factor), 64)
+        )
+    m = _next_pow2(max(-(-n_local // num_shards), 128))
+    sc = max(m >> 6, 64)
+    return m + sc
+
+
+def _fold_leftover_np(
+    compact: np.ndarray, counts: np.ndarray, xw, xc, xk
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge kept spill-leftover entries into a compacted (keys, counts)
+    host result, preserving the global mixed-space sort order.
+
+    Leftovers (ops/spill.py) are keys whose every copy crossed in spill
+    lanes; after the [L,U] filter they are almost always empty, so the
+    lexsort below is a cold path over a tiny union.
+    """
+    xk_np = np.asarray(xk)
+    if not xk_np.any():
+        return compact, counts
+    xkeys = np.stack([np.asarray(w)[xk_np] for w in xw], axis=-1)
+    xcnt = np.asarray(xc)[xk_np].astype(counts.dtype)
+    allk = np.concatenate([compact, xkeys])
+    allc = np.concatenate([counts, xcnt])
+    order = np.lexsort(
+        tuple(allk[:, i] for i in reversed(range(allk.shape[1])))
+    )
+    return allk[order], allc[order]
+
+
+def _collect_leftover_partials(
+    xw, xc, xk, num_shards: int, xpart_k, xpart_c
+) -> None:
+    """Append this batch's per-shard leftover spill entries (if any) to the
+    host-side accumulators. In unfiltered streaming mode every leftover
+    head survives, so these carry real (rare) counts that the final merge
+    must sum with the main partials."""
+    xk_np = np.asarray(xk)
+    if not xk_np.any():
+        return
+    xc_np = np.asarray(xc)
+    xw_np = [np.asarray(w) for w in xw]
+    xlen = xk_np.shape[0] // num_shards
+    for s in range(num_shards):
+        sl = slice(s * xlen, (s + 1) * xlen)
+        km = xk_np[sl]
+        if km.any():
+            xpart_k[s].append(
+                np.stack([w[sl][km] for w in xw_np], axis=-1)
+            )
+            xpart_c[s].append(xc_np[sl][km].astype(np.uint32))
+
+
+def _leftover_run(
+    xpart_k: list[np.ndarray], xpart_c: list[np.ndarray]
+) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Collapse a shard's per-batch leftover partials into ONE ascending
+    sorted run (host lexsort over a tiny union) that enters the final
+    partial merge as a single extra run."""
+    if not xpart_k:
+        return None
+    allk = np.concatenate(xpart_k)
+    allc = np.concatenate(xpart_c)
+    order = np.lexsort(
+        tuple(allk[:, i] for i in reversed(range(allk.shape[1])))
+    )
+    return allk[order], allc[order]
+
+
 def _build_marked_mixed(codes, valid, cfg: KmerConfig):
     """codes/valid -> sentinel-marked, invertibly-mixed key words."""
     if cfg.fuse_keybuild:
@@ -117,13 +202,25 @@ def _range_exchange_merge(
     The shared middle of the range pipelines: segment boundaries by
     searchsorted on static range boundaries, contiguous-range pack, padded
     all_to_all, sentinel-mask, bitonic merge. Returns
-    (merged_words, merged_payloads, dest_totals, overflow_flag), where
-    dest_totals are the global per-destination element counts — computed
-    for FREE from the segment offsets the pack needs anyway, which is what
-    lets the heavy-hitter classifier reuse them instead of paying a
-    separate measurement sweep (the reference likewise classifies from
-    counts it already has, src/kmerops.cpp:1157-1199).
+    (merged_words, merged_payloads, spill_words, spill_payloads,
+    dest_totals, overflow_flag), where dest_totals are the global
+    per-destination element counts — computed for FREE from the segment
+    offsets the pack needs anyway, which is what lets the heavy-hitter
+    classifier reuse them instead of paying a separate measurement sweep
+    (the reference likewise classifies from counts it already has,
+    src/kmerops.cpp:1157-1199).
+
+    Exact-capacity geometry (ops/spill.py): capacity = m + sc with m the
+    largest pow2. Each cell carries the segment's first `capacity`
+    contiguous elements; the first m slots per received run feed the pow2
+    merge network, the sc-slot spill tails are lax.sort'ed flat (tiny) and
+    returned for the caller to fold (spill.fold_spill_counts). sc == 0
+    (pow2 capacity — EXT mode, legacy callers) keeps the single-plane
+    behavior and returns empty spill planes.
     """
+    from ..ops import spill as spill_ops
+
+    m, sc = spill_ops.split_capacity(capacity)
     n_valid = jnp.sum(sort_ops.sentinel_valid(mixed_s).astype(jnp.int32))
     bnd = mixkey.range_boundaries(num_shards)[1:-1].astype(np.uint32)
     inner = jnp.searchsorted(
@@ -141,24 +238,41 @@ def _range_exchange_merge(
     )
     recv_w = exchange.mask_invalid_slots(recv_w, recv_valid)
 
+    if sc:
+        spill_w = [w[:, m:] for w in recv_w]
+        spill_p = [p[:, m:] for p in recv_p]
+        recv_w = [w[:, :m] for w in recv_w]
+        recv_p = [p[:, :m] for p in recv_p]
+        flat_sp = [w.reshape(-1) for w in spill_w] + [
+            p.reshape(-1) for p in spill_p
+        ]
+        sp_sorted = jax.lax.sort(
+            tuple(flat_sp), num_keys=len(spill_w), is_stable=False
+        )
+        spill_words = list(sp_sorted[: len(spill_w)])
+        spill_pays = list(sp_sorted[len(spill_w):])
+    else:
+        spill_words = [jnp.full((1,), jnp.uint32(0xFFFFFFFF))
+                       for _ in recv_w]
+        spill_pays = [jnp.zeros((1,), jnp.uint32) for _ in recv_p]
+
     # Pad the run count to a power of two with all-sentinel runs (the
-    # bitonic merge needs pow2 x pow2 geometry; capacity is pow2 by
-    # construction at the host layer).
+    # bitonic merge needs pow2 x pow2 geometry; m is pow2 by construction).
     s2 = _next_pow2(num_shards)
     if s2 != num_shards:
         pad_rows = s2 - num_shards
-        full = jnp.full(
-            (pad_rows, capacity), jnp.uint32(0xFFFFFFFF), jnp.uint32
-        )
+        full = jnp.full((pad_rows, m), jnp.uint32(0xFFFFFFFF), jnp.uint32)
         recv_w = [jnp.concatenate([w, full]) for w in recv_w]
-        zeros = jnp.zeros((pad_rows, capacity), jnp.uint32)
+        zeros = jnp.zeros((pad_rows, m), jnp.uint32)
         recv_p = [jnp.concatenate([p, zeros]) for p in recv_p]
 
     flat = [w.reshape(-1) for w in recv_w] + [p.reshape(-1) for p in recv_p]
-    merged = merge_ops.merge_sorted_runs(flat, len(recv_w), capacity)
+    merged = merge_ops.merge_sorted_runs(flat, len(recv_w), m)
     return (
         merged[: len(recv_w)],
-        merged[len(recv_w) :],
+        merged[len(recv_w):],
+        spill_words,
+        spill_pays,
         dest_totals,
         overflow,
     )
@@ -168,14 +282,29 @@ def _shard_body_range(
     codes, valid, *, cfg: KmerConfig, num_shards: int, capacity: int
 ):
     """Default per-shard program: one sort, contiguous pack, merge."""
+    from ..ops import spill as spill_ops
+
     mixed = _build_marked_mixed(codes.astype(jnp.int8), valid, cfg)
     _, mixed_s, _ = sort_ops.sort_marked(mixed, backend=cfg.sort_backend)
-    merged_w, _, totals, overflow = _range_exchange_merge(
+    merged_w, _, spill_w, _, totals, overflow = _range_exchange_merge(
         mixed_s, [], cfg, num_shards, capacity
     )
     cnt, keep = _count_merged(merged_w, cfg)
+    _, sc = spill_ops.split_capacity(capacity)
+    if sc:
+        xsv = sort_ops.sentinel_valid(spill_w)
+        xhead, xcnt = count_ops.run_length_count(xsv, spill_w)
+        cnt, keep, xcnt, xkeep = spill_ops.fold_spill_counts(
+            merged_w, cnt, spill_w, xhead, xcnt, *_bounds(cfg)
+        )
+    else:
+        xcnt = jnp.zeros(spill_w[0].shape, jnp.int32)
+        xkeep = jnp.zeros(spill_w[0].shape, jnp.bool_)
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
-    return tuple(merged_w), cnt, keep, totals, overflow
+    return (
+        tuple(merged_w), cnt, keep, tuple(spill_w), xcnt, xkeep, totals,
+        overflow,
+    )
 
 
 def _shard_body_range_combiner(
@@ -190,6 +319,8 @@ def _shard_body_range_combiner(
     a receive-side merge total — the reference's heavy path instead re-sorts
     the gathered KmerList concatenation (src/kmerops.cpp:546-581).
     """
+    from ..ops import spill as spill_ops
+
     mixed = _build_marked_mixed(codes.astype(jnp.int8), valid, cfg)
     _, mixed_s, _ = sort_ops.sort_marked(mixed, backend=cfg.sort_backend)
     svalid = sort_ops.sentinel_valid(mixed_s)
@@ -200,16 +331,31 @@ def _shard_body_range_combiner(
         entry_words, [local_cnt.astype(jnp.uint32)],
         backend=cfg.sort_backend,
     )
-    merged_w, merged_p, totals, overflow = _range_exchange_merge(
-        entry_s, pay_s, cfg, num_shards, capacity
+    merged_w, merged_p, spill_w, spill_p, totals, overflow = (
+        _range_exchange_merge(entry_s, pay_s, cfg, num_shards, capacity)
     )
     svalid2 = sort_ops.sentinel_valid(merged_w)
     head2, cnt = count_ops.run_length_sum(
         svalid2, merged_w, merged_p[0].astype(jnp.int32)
     )
     keep = count_ops.frequency_filter(head2, cnt, *_bounds(cfg))
+    _, sc = spill_ops.split_capacity(capacity)
+    if sc:
+        xsv = sort_ops.sentinel_valid(spill_w)
+        xhead, xcnt = count_ops.run_length_sum(
+            xsv, spill_w, spill_p[0].astype(jnp.int32)
+        )
+        cnt, keep, xcnt, xkeep = spill_ops.fold_spill_counts(
+            merged_w, cnt, spill_w, xhead, xcnt, *_bounds(cfg)
+        )
+    else:
+        xcnt = jnp.zeros(spill_w[0].shape, jnp.int32)
+        xkeep = jnp.zeros(spill_w[0].shape, jnp.bool_)
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
-    return tuple(merged_w), cnt, keep, totals, overflow
+    return (
+        tuple(merged_w), cnt, keep, tuple(spill_w), xcnt, xkeep, totals,
+        overflow,
+    )
 
 
 def _shard_body_bucketed(
@@ -299,7 +445,14 @@ def _shard_body_bucketed(
     # Words returned separately (stacking on device wastes an HBM pass).
     # The histogram is computed host-side from the compacted counts (the
     # reference's count timer likewise excludes histogram work).
-    return tuple(words_s), cnt, keep, totals, overflow
+    # Bucketed routing has no spill lane; emit the uniform empty planes so
+    # every routing shares one output contract.
+    xw = tuple(
+        jnp.full((1,), jnp.uint32(0xFFFFFFFF)) for _ in range(len(words_s))
+    )
+    xcnt = jnp.zeros((1,), jnp.int32)
+    xkeep = jnp.zeros((1,), jnp.bool_)
+    return tuple(words_s), cnt, keep, xw, xcnt, xkeep, totals, overflow
 
 
 @functools.partial(
@@ -307,6 +460,11 @@ def _shard_body_bucketed(
 )
 def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh):
     word_specs = tuple(P(SHARD_AXIS) for _ in range(cfg.words))
+    # (words, cnt, keep, spill_words, spill_cnt, spill_keep, totals, overflow)
+    out_specs = (
+        word_specs, P(SHARD_AXIS), P(SHARD_AXIS),
+        word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P(), P(),
+    )
     if cfg.routing == "range":
         body = functools.partial(
             _shard_body_range_combiner if cfg.combiner else _shard_body_range,
@@ -316,7 +474,7 @@ def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh)
             body,
             mesh=mesh,
             in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
-            out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+            out_specs=out_specs,
             check_rep=False,
         )(codes, valid)
     body = functools.partial(
@@ -326,7 +484,7 @@ def _count_sharded_jit(codes, valid, assign, *, cfg, num_shards, capacity, mesh)
         body,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P()),
-        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+        out_specs=out_specs,
         check_rep=False,
     )(codes, valid, assign)
 
@@ -359,7 +517,10 @@ def _count_sharded_packed_jit(
         body,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+        out_specs=(
+            word_specs, P(SHARD_AXIS), P(SHARD_AXIS),
+            word_specs, P(SHARD_AXIS), P(SHARD_AXIS), P(), P(),
+        ),
         check_rep=False,
     )(packed, lengths)
 
@@ -534,11 +695,7 @@ def plan_sharded_step(
         return cfg, jnp.asarray(assign_np), capacity, False
 
     if cfg.routing == "range":
-        # pow2 capacity (the run merge needs pow2 x pow2 geometry).
-        capacity = _next_pow2(
-            max(int(n_local / num_shards * cfg.capacity_factor), 64)
-        )
-        return cfg, assign, capacity, False
+        return cfg, assign, range_capacity(n_local, num_shards, cfg), False
 
     capacity = max(int(n_local / num_shards * cfg.capacity_factor), 64)
     return cfg, assign, capacity, False
@@ -585,7 +742,7 @@ def count_flat_sharded(
         and not cfg2.extension
     )
     for _attempt in range(6):
-        keys, cnt, keep, totals, overflow = _count_sharded_jit(
+        keys, cnt, keep, xw, xc, xk, totals, overflow = _count_sharded_jit(
             codes_j, valid_j, assign,
             cfg=cfg2, num_shards=num_shards, capacity=capacity, mesh=mesh,
         )
@@ -607,11 +764,13 @@ def count_flat_sharded(
 
     keep_np = np.asarray(keep)
     compact = compact_keys(keys, keep_np)
+    counts_np = np.asarray(cnt)[keep_np]
+    compact, counts_np = _fold_leftover_np(compact, counts_np, xw, xc, xk)
     if cfg2.routing == "range":
         compact = mixkey.unmix_keys_np(compact)
     kmerlist = KmerList(
         keys=compact,
-        counts=np.asarray(cnt)[keep_np],
+        counts=counts_np,
         k=cfg.k,
     )
     return kmerlist, host_histogram(kmerlist.counts, cfg.upper)
@@ -756,10 +915,13 @@ def count_reads_sharded_streaming(
     cfg: KmerConfig,
     batch_bases: int = 1 << 26,
     mesh: Optional[Mesh] = None,
+    async_depth: int = 4,
 ) -> tuple[KmerList, np.ndarray]:
     """Bounded-memory multi-device counting: peak HBM is set by batch_bases
-    (plus the compacted distinct-key partials of the final merge), not by
-    the input size. Equivalent to count_reads_sharded (asserted in tests).
+    (plus the compacted distinct-key partials of the final merge plus
+    `async_depth` in-flight batches), not by the input size. Equivalent to
+    count_reads_sharded (asserted in tests); results are independent of
+    async_depth (FIFO settle).
     """
     from ..runtime.scheduler import iter_read_batches
 
@@ -777,6 +939,8 @@ def count_reads_sharded_streaming(
 
     partial_k: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
     partial_c: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
+    xpart_k: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
+    xpart_c: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
 
     plan = None
     target_block = None
@@ -790,6 +954,46 @@ def count_reads_sharded_streaming(
         and cfg_pre_base.classifier == "heavy_hitter"
     )
     from . import dispatch
+
+    # Comm/compute overlap: up to `async_depth` batches stay in flight —
+    # jit dispatch is asynchronous, so the host packs batch t+1..t+d while
+    # the devices run batch t, and the overflow flag is only read when a
+    # batch leaves the window (the reference's double-buffered Ialltoall
+    # rounds overlap exactly these, src/kmerops.cpp:906-1007). Settle
+    # order is FIFO, so partials land in batch order and results are
+    # depth-independent; an overflowed batch re-runs alone at the doubled
+    # capacity when its flag is finally read.
+    pending: list[tuple] = []
+
+    def _settle(entry) -> None:
+        nonlocal plan
+        outs, b_codes_j, b_valid_j = entry
+        for _attempt in range(6):
+            if int(jax.device_get(outs[-1])) == 0:
+                break
+            cfg_pre, assign, capacity, measured = plan
+            capacity *= 2
+            plan = (cfg_pre, assign, capacity, measured)
+            outs = _count_sharded_jit(
+                b_codes_j, b_valid_j, assign,
+                cfg=cfg_pre, num_shards=num_shards, capacity=capacity,
+                mesh=mesh,
+            )
+        else:
+            raise RuntimeError("exchange capacity overflow after 6 attempts")
+        keys, cnt, keep, xw, xc, xk, _totals, _overflow = outs
+        keep_np = np.asarray(keep)
+        cnt_np = np.asarray(cnt)
+        words_np = [np.asarray(w) for w in keys]
+        out_len = keep_np.shape[0] // num_shards
+        for s in range(num_shards):
+            sl = slice(s * out_len, (s + 1) * out_len)
+            km = keep_np[sl]
+            partial_k[s].append(
+                np.stack([w[sl][km] for w in words_np], axis=-1)
+            )
+            partial_c[s].append(cnt_np[sl][km].astype(np.uint32))
+        _collect_leftover_partials(xw, xc, xk, num_shards, xpart_k, xpart_c)
 
     for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
         flat_c, flat_v = distribute_reads(b_codes, b_lengths, cfg, num_shards)
@@ -816,39 +1020,31 @@ def count_reads_sharded_streaming(
             )
         cfg_pre, assign, capacity, measured = plan
 
-        for _attempt in range(6):
-            keys, cnt, keep, totals, overflow = _count_sharded_jit(
-                codes_j, valid_j, assign,
-                cfg=cfg_pre, num_shards=num_shards, capacity=capacity,
-                mesh=mesh,
+        outs = _count_sharded_jit(
+            codes_j, valid_j, assign,
+            cfg=cfg_pre, num_shards=num_shards, capacity=capacity,
+            mesh=mesh,
+        )
+        if heavy_pending:
+            # Batch 0 syncs once: the classify decision gates every later
+            # batch's program, so it cannot ride the async window.
+            heavy_pending = False
+            types = dispatch.classify(
+                np.asarray(outs[-2]), cfg_pre.heavy_ratio
             )
-            if heavy_pending:
-                heavy_pending = False
-                types = dispatch.classify(
-                    np.asarray(totals), cfg_pre.heavy_ratio
+            if (types == dispatch.HEAVY).any():
+                cfg_pre = dataclasses.replace(cfg_pre, combiner=True)
+                plan = (cfg_pre, assign, capacity, measured)
+                outs = _count_sharded_jit(
+                    codes_j, valid_j, assign,
+                    cfg=cfg_pre, num_shards=num_shards, capacity=capacity,
+                    mesh=mesh,
                 )
-                if (types == dispatch.HEAVY).any():
-                    cfg_pre = dataclasses.replace(cfg_pre, combiner=True)
-                    plan = (cfg_pre, assign, capacity, measured)
-                    continue
-            if int(jax.device_get(overflow)) == 0:
-                break
-            capacity *= 2
-            plan = (cfg_pre, assign, capacity, measured)
-        else:
-            raise RuntimeError("exchange capacity overflow after 6 attempts")
-
-        keep_np = np.asarray(keep)
-        cnt_np = np.asarray(cnt)
-        words_np = [np.asarray(w) for w in keys]
-        out_len = keep_np.shape[0] // num_shards
-        for s in range(num_shards):
-            sl = slice(s * out_len, (s + 1) * out_len)
-            km = keep_np[sl]
-            partial_k[s].append(
-                np.stack([w[sl][km] for w in words_np], axis=-1)
-            )
-            partial_c[s].append(cnt_np[sl][km].astype(np.uint32))
+        pending.append((outs, codes_j, valid_j))
+        if len(pending) >= async_depth:
+            _settle(pending.pop(0))
+    while pending:
+        _settle(pending.pop(0))
 
     cfg_used = plan[0] if plan is not None else cfg_pre_base
     mixed_space = cfg_used.routing == "range"
@@ -861,6 +1057,13 @@ def count_reads_sharded_streaming(
             ),
             np.zeros(cfg.upper + 1, np.int32),
         )
+
+    # Leftover spill entries join as ONE extra sorted run per shard.
+    for s in range(num_shards):
+        xrun = _leftover_run(xpart_k[s], xpart_c[s])
+        if xrun is not None:
+            partial_k[s].append(xrun[0])
+            partial_c[s].append(xrun[1])
 
     # Lay the per-(shard, batch) partials out as sentinel-padded pow2 runs:
     # the merge pass then only pays log2(runs) bitonic merge levels, not a
@@ -912,13 +1115,22 @@ def count_reads_sharded_streaming(
 def _shard_body_ext_range(
     codes, valid, rid, pos, *, cfg: KmerConfig, num_shards: int, capacity: int
 ):
-    """EXT range pipeline: (rid, pos) payloads ride the sort and the merge."""
+    """EXT range pipeline: (rid, pos) payloads ride the sort and the merge.
+
+    EXT keeps the legacy single-plane pow2 capacity (plan_sharded_step):
+    occurrence payloads cannot be count-folded across a spill lane, so the
+    spill planes _range_exchange_merge returns are always the empty
+    dummies here.
+    """
+    assert capacity & (capacity - 1) == 0, (
+        "EXT range exchange requires pow2 capacity (no spill lane)"
+    )
     mixed = _build_marked_mixed(codes.astype(jnp.int8), valid, cfg)
     payloads = [rid.astype(jnp.uint32), pos.astype(jnp.uint32)]
     _, mixed_s, payl_s = sort_ops.sort_marked(
         mixed, payloads, backend=cfg.sort_backend
     )
-    merged_w, merged_p, totals, overflow = _range_exchange_merge(
+    merged_w, merged_p, _, _, totals, overflow = _range_exchange_merge(
         mixed_s, payl_s, cfg, num_shards, capacity
     )
     cnt, keep = _count_merged(merged_w, cfg)

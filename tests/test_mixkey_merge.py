@@ -163,7 +163,7 @@ def test_heavy_hitter_autoswitches_to_combiner():
     )
     assert not cfg2.combiner  # the plan itself never pays a sweep
     # One (generously-sized) main pass: its free totals flag the skew.
-    _, _, _, totals, _ = sp._count_sharded_jit(
+    _, _, _, _, _, _, totals, _ = sp._count_sharded_jit(
         cj, vj, assign, cfg=cfg2, num_shards=8,
         capacity=sp._next_pow2(flat_c.shape[0]), mesh=mesh,
     )
@@ -196,9 +196,9 @@ def test_minimizer_capacity_is_exact():
         cj, vj, cfg, 8, mesh, flat_c.shape[0] // 8
     )
     assert measured
-    _, _, _, _, overflow = sp._count_sharded_jit(
+    overflow = sp._count_sharded_jit(
         cj, vj, assign, cfg=cfg2, num_shards=8, capacity=capacity, mesh=mesh
-    )
+    )[-1]
     assert int(np.asarray(overflow)) == 0
     # Range routing plans heuristically (no sweep) and relies on the
     # overflow protocol instead.

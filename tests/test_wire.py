@@ -80,12 +80,13 @@ def test_packed_sharded_equals_unpacked():
     S = 8
 
     packed, lens2d, block, _ = sp.distribute_reads_packed(codes, lengths, cfg, S)
-    capacity = sp._next_pow2(
-        max(int(block / S * cfg.capacity_factor), 64)
-    )
-    keys, cnt, keep, totals, overflow = sp._count_sharded_packed_jit(
-        jnp.asarray(packed), jnp.asarray(lens2d.reshape(-1)),
-        cfg=cfg, num_shards=S, capacity=capacity, block_len=block, mesh=mesh,
+    capacity = sp.range_capacity(block, S, cfg)
+    keys, cnt, keep, xw, xc, xk, totals, overflow = (
+        sp._count_sharded_packed_jit(
+            jnp.asarray(packed), jnp.asarray(lens2d.reshape(-1)),
+            cfg=cfg, num_shards=S, capacity=capacity, block_len=block,
+            mesh=mesh,
+        )
     )
     assert int(np.asarray(overflow)) == 0
     # Per-destination totals (free from the segment offsets) must account
@@ -95,13 +96,16 @@ def test_packed_sharded_equals_unpacked():
     )
     assert int(np.asarray(totals).sum()) == n_valid
     keep_np = np.asarray(keep)
-    got_keys = mixkey.unmix_keys_np(compact_keys(keys, keep_np))
+    got_keys = compact_keys(keys, keep_np)
+    got_cnt = np.asarray(cnt)[keep_np]
+    got_keys, got_cnt = sp._fold_leftover_np(got_keys, got_cnt, xw, xc, xk)
+    got_keys = mixkey.unmix_keys_np(got_keys)
     got = dict(
         zip(
             [bytes(x) for x in
              __import__("hysortk_tpu.ops.kmer", fromlist=["decode_keys"])
              .decode_keys(got_keys, cfg.k).tolist()],
-            np.asarray(cnt)[keep_np].tolist(),
+            got_cnt.tolist(),
         )
     )
     want = {
