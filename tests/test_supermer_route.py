@@ -223,3 +223,84 @@ def test_supermer_exchange_extension_occurrences():
     )
     assert kl.as_dict() == kl2.as_dict()
     np.testing.assert_array_equal(hist, hist2)
+
+
+def test_supermer_heavy_hitter_precount():
+    """One k-mer at ~30% abundance (VERDICT round-3 missing #1): the
+    classifier must strip its bucket from the streams — bounding the
+    padded per-shard block — and its pre-counted entries must surface with
+    exact counts through both transports."""
+    from hysortk_tpu.parallel import dispatch
+
+    rng = np.random.default_rng(67)
+    base = oracle.random_reads(rng, 30, 40, 100)
+    # Poly-A reads: every window is the same canonical k-mer.
+    heavy = ["A" * 300] * 6
+    reads = base + heavy
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=2**15, routing="supermer",
+                     classifier="heavy_hitter", pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    mesh = make_mesh(jax.devices())
+
+    # The classifier must flag the poly-A bucket on this input.
+    flat_c, flat_v = fasta_io.flatten_for_device(
+        codes, lengths, cfg.k, cfg.pad_multiple
+    )
+    nb = 8 * cfg.avg_buckets_per_shard
+    dest = supermer_route.host_destinations(flat_c, cfg.k, cfg.m, nb)
+    sizes = np.bincount(dest[flat_v.astype(bool)], minlength=nb)
+    types = dispatch.classify(sizes.astype(np.int64), cfg.heavy_ratio)
+    assert (types == dispatch.HEAVY).any(), "input failed to trip classify"
+
+    # Block boundedness: the packed block must shrink vs classifier off.
+    blocks = {}
+    orig = supermer_route._pack_streams
+
+    def spy(streams, pad):
+        out = orig(streams, pad)
+        blocks[len(blocks)] = out[2]
+        return out
+
+    supermer_route._pack_streams = spy
+    try:
+        kl, hist = supermer_route.count_reads_supermer(
+            codes, lengths, cfg, mesh
+        )
+        block_heavy = blocks[0]
+        import dataclasses
+
+        cfg_off = dataclasses.replace(cfg, classifier="plain")
+        kl_off, hist_off = supermer_route.count_reads_supermer(
+            codes, lengths, cfg_off, mesh
+        )
+        block_off = blocks[1]
+    finally:
+        supermer_route._pack_streams = orig
+    assert block_heavy < block_off, (block_heavy, block_off)
+
+    want = _expect(reads, cfg)
+    assert kl.as_dict() == want
+    assert kl_off.as_dict() == want
+    np.testing.assert_array_equal(hist, hist_off)
+
+    # Exchange transport (single-process on the CPU mesh).
+    kl2, hist2 = supermer_route.count_reads_supermer_exchange(
+        codes, lengths, cfg, mesh
+    )
+    assert kl2.as_dict() == want
+    np.testing.assert_array_equal(hist2, hist)
+
+
+def test_supermer_heavy_filter_bounds_apply_to_entries():
+    """[L,U] must filter the host-side pre-counted entries too: the heavy
+    key's total exceeds upper here and must be dropped."""
+    rng = np.random.default_rng(68)
+    reads = oracle.random_reads(rng, 20, 40, 80) * 2 + ["A" * 200] * 4
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer",
+                     classifier="heavy_hitter", pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    kl, _ = supermer_route.count_reads_supermer(
+        codes, lengths, cfg, make_mesh(jax.devices())
+    )
+    assert kl.as_dict() == _expect(reads, cfg)
+    assert b"A" * 31 not in kl.as_dict()
