@@ -108,13 +108,22 @@ def main(argv=None) -> int:
         device_compact=args.device_compact,
     )
 
-    if cfg.routing == "supermer" and (
-        args.stream_batch_bases or args.single_device
+    if cfg.routing == "supermer" and args.single_device:
+        p.error(
+            "--routing supermer is a sharded dispatch path; it does not "
+            "combine with --single-device (use the default range routing "
+            "there)"
+        )
+    if (
+        cfg.routing == "supermer"
+        and args.stream_batch_bases
+        and (args.num_processes or 1) > 1
+        and not cfg.extension
     ):
         p.error(
-            "--routing supermer is the single-step sharded dispatch path; "
-            "it does not combine with --stream-batch-bases or "
-            "--single-device (use the default range routing there)"
+            "--routing supermer --stream-batch-bases is single-process "
+            "only (multi-process supermer streaming is not implemented; "
+            "use range routing or drop --stream-batch-bases)"
         )
 
     if args.coordinator:
@@ -207,6 +216,14 @@ def main(argv=None) -> int:
 
                 kmerlist, hist = count_fasta_multihost_streaming(
                     args.fasta, cfg, args.stream_batch_bases
+                )
+            elif cfg.routing == "supermer":
+                from .parallel.supermer_route import (
+                    count_reads_supermer_streaming,
+                )
+
+                kmerlist, hist = count_reads_supermer_streaming(
+                    codes, lengths, cfg, args.stream_batch_bases
                 )
             elif len(devices) > 1 and not args.single_device:
                 from .parallel.pipeline import count_reads_sharded_streaming

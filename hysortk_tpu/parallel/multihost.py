@@ -312,6 +312,16 @@ def count_fasta_multihost_streaming(
     from ..pipeline import resolved_cfg
     from . import dispatch
 
+    if cfg.routing == "supermer":
+        # This loop's exchange is the key-space one; silently running it
+        # under a supermer request would swap the wire format the caller
+        # asked for (advisor round-3). Single-process supermer streaming
+        # lives in supermer_route.count_reads_supermer_streaming.
+        raise ValueError(
+            "supermer routing has no multi-process streaming path; use "
+            "range routing, or supermer without --stream-batch-bases"
+        )
+
     codes, lengths = read_my_shard(fasta_path, cfg)
     mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
     n_local_dev = jax.local_device_count()

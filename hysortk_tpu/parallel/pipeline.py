@@ -929,6 +929,12 @@ def count_reads_sharded_streaming(
         raise ValueError(
             "use count_reads_sharded_ext_streaming for extension mode"
         )
+    if cfg.routing == "supermer":
+        from . import supermer_route
+
+        return supermer_route.count_reads_supermer_streaming(
+            codes, lengths, cfg, batch_bases, mesh, async_depth
+        )
 
     mesh = mesh or make_mesh()
     num_shards = mesh.devices.size

