@@ -49,82 +49,96 @@ def _crumb_reverse32(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _keybuild_kernel(k: int, block_rows: int):
+def load_codes_valid(codes_ref, valid_ref, scratch_c, scratch_v, sems, R):
+    """In-kernel halo load: R+8 code rows + R validity rows into VMEM
+    scratch (8-row halo keeps the DMA sublane-tile aligned; the packers
+    look at most K+14 < 128 elements ahead). Shared by the standalone
+    keybuild kernel and the fused keybuild+phase-A sort kernel
+    (pallas_msort.block_sort_keybuild)."""
+    b = pl.program_id(0)
+    start = b * R
+    pltpu.make_async_copy(
+        codes_ref.at[pl.ds(start, R + 8), :], scratch_c, sems.at[0]
+    ).start()
+    pltpu.make_async_copy(
+        valid_ref.at[pl.ds(start, R), :], scratch_v, sems.at[1]
+    ).start()
+    pltpu.make_async_copy(
+        codes_ref.at[pl.ds(start, R + 8), :], scratch_c, sems.at[0]
+    ).wait()
+    pltpu.make_async_copy(
+        valid_ref.at[pl.ds(start, R), :], scratch_v, sems.at[1]
+    ).wait()
+
+
+def derive_canonical(codes: jnp.ndarray, invalid: jnp.ndarray, k: int):
+    """In-VMEM canonical key derivation over an (R+8, 128) uint32 code
+    view: sliding 16-base packs, forward words, crumb-reversal twin,
+    canonical select, validity sentinel. Returns W (R, 128) uint32 values
+    (the kernel-side twin of ops/kmer.canonical_words +
+    ops/sort.apply_sentinel; reference Kmer construction,
+    include/kmer.hpp:107-345).
+    """
     w_count = (k + 15) // 16
     r_last = k - 16 * (w_count - 1)
+    R = invalid.shape[0]
+
+    # Sliding 16-base pack (4 doubling steps).
+    p = codes
+    p = (p << 2) | _shift_fwd(p, 1)
+    p = (p << 4) | _shift_fwd(p, 2)
+    p = (p << 8) | _shift_fwd(p, 4)
+    p = (p << 16) | _shift_fwd(p, 8)
+
+    # Forward words.
+    fwd = []
+    for w in range(w_count):
+        word = p if w == 0 else _shift_fwd(p, 16 * w)
+        if w == w_count - 1 and r_last < 16:
+            word = word & np.uint32(
+                (0xFFFFFFFF << (32 - 2 * r_last)) & 0xFFFFFFFF
+            )
+        fwd.append(word)
+
+    # Twin via crumb reversal + complement + multiword left shift.
+    rev = [~_crumb_reverse32(fwd[w_count - 1 - w]) for w in range(w_count)]
+    shift = 32 * w_count - 2 * k
+    if shift == 0:
+        twn = rev
+    else:
+        twn = []
+        for w in range(w_count):
+            hi = rev[w] << shift
+            lo = (
+                rev[w + 1] >> (32 - shift)
+                if w + 1 < w_count
+                else jnp.zeros_like(rev[w])
+            )
+            twn.append(hi | lo)
+
+    # Canonical = lexicographic min(fwd, twn).
+    less = jnp.zeros(codes.shape, dtype=jnp.bool_)
+    eq = jnp.ones(codes.shape, dtype=jnp.bool_)
+    for fw, tw in zip(fwd, twn):
+        less = less | (eq & (tw < fw))
+        eq = eq & (tw == fw)
+    canon = [jnp.where(less, tw, fw) for fw, tw in zip(fwd, twn)]
+    return [jnp.where(invalid, _FULL, c[:R, :]) for c in canon]
+
+
+def _keybuild_kernel(k: int, block_rows: int):
+    w_count = (k + 15) // 16
     R = block_rows
 
     def kernel(codes_ref, valid_ref, *out_refs):
         scratch_c, scratch_v, sems = out_refs[w_count:]
         outs = out_refs[:w_count]
-
-        b = pl.program_id(0)
-        nrows_total = codes_ref.shape[0]
-        # Load R+8 rows (8-row halo keeps the DMA sublane-tile aligned;
-        # the packers look at most K+14 < 128 elements ahead).
-        start = b * R
-        pltpu.make_async_copy(
-            codes_ref.at[pl.ds(start, R + 8), :],
-            scratch_c,
-            sems.at[0],
-        ).start()
-        pltpu.make_async_copy(
-            valid_ref.at[pl.ds(start, R), :],
-            scratch_v,
-            sems.at[1],
-        ).start()
-        pltpu.make_async_copy(
-            codes_ref.at[pl.ds(start, R + 8), :], scratch_c, sems.at[0]
-        ).wait()
-        pltpu.make_async_copy(
-            valid_ref.at[pl.ds(start, R), :], scratch_v, sems.at[1]
-        ).wait()
-
-        codes = scratch_c[:].astype(jnp.uint32)
-
-        # Sliding 16-base pack (4 doubling steps).
-        p = codes
-        p = (p << 2) | _shift_fwd(p, 1)
-        p = (p << 4) | _shift_fwd(p, 2)
-        p = (p << 8) | _shift_fwd(p, 4)
-        p = (p << 16) | _shift_fwd(p, 8)
-
-        # Forward words.
-        fwd = []
-        for w in range(w_count):
-            word = p if w == 0 else _shift_fwd(p, 16 * w)
-            if w == w_count - 1 and r_last < 16:
-                word = word & np.uint32((0xFFFFFFFF << (32 - 2 * r_last)) & 0xFFFFFFFF)
-            fwd.append(word)
-
-        # Twin via crumb reversal + complement + multiword left shift.
-        rev = [~_crumb_reverse32(fwd[w_count - 1 - w]) for w in range(w_count)]
-        shift = 32 * w_count - 2 * k
-        if shift == 0:
-            twn = rev
-        else:
-            twn = []
-            for w in range(w_count):
-                hi = rev[w] << shift
-                lo = (
-                    rev[w + 1] >> (32 - shift)
-                    if w + 1 < w_count
-                    else jnp.zeros_like(rev[w])
-                )
-                twn.append(hi | lo)
-
-        # Canonical = lexicographic min(fwd, twn).
-        less = jnp.zeros(codes.shape, dtype=jnp.bool_)
-        eq = jnp.ones(codes.shape, dtype=jnp.bool_)
-        for fw, tw in zip(fwd, twn):
-            less = less | (eq & (tw < fw))
-            eq = eq & (tw == fw)
-        canon = [jnp.where(less, tw, fw) for fw, tw in zip(fwd, twn)]
-
-        # Sentinel on invalid positions; drop the halo row on store.
-        invalid = scratch_v[:] == 0
+        load_codes_valid(codes_ref, valid_ref, scratch_c, scratch_v, sems, R)
+        canon = derive_canonical(
+            scratch_c[:].astype(jnp.uint32), scratch_v[:] == 0, k
+        )
         for o, c in zip(outs, canon):
-            o[:] = jnp.where(invalid, _FULL, c[:R, :])
+            o[:] = c
 
     return kernel
 

@@ -216,6 +216,30 @@ def _stage(mem, n_arrays, n_words, mb, log_b, s, bit_k, k_bit):
 # ---------------------------------------------------------------------------
 
 
+def _run_block_network(mem, n_arrays, n_words, mb, log_b, beta):
+    """The full phase-A bitonic network over member-tile lists; blocks
+    alternate asc/desc by the grid index parity (what merge_levels
+    expects). Shared by the plain and the fused-keybuild phase-A kernels."""
+    k = 2
+    while k <= (1 << log_b):
+        k_bit = int(k).bit_length() - 1
+        if k_bit < mb:
+            bit_k = None
+        elif k_bit < log_b:
+            bit_k = _tile_bit(mb, k_bit)
+        else:  # k == B: region bit comes from the block index
+            bit_k = (beta & 1) == 1
+        j = k // 2
+        while j >= 1:
+            s = int(j).bit_length() - 1
+            mem = _stage(
+                mem, n_arrays, n_words, mb, log_b, s, bit_k, k_bit
+            )
+            j //= 2
+        k *= 2
+    return mem
+
+
 def _block_sort_member_kernel(n_arrays: int, n_words: int, log_b: int):
     rows, n_members, mb = _geometry(log_b)
 
@@ -226,28 +250,89 @@ def _block_sort_member_kernel(n_arrays: int, n_words: int, log_b: int):
             [ins[x][8 * m : 8 * m + 8, :] for m in range(n_members)]
             for x in range(n_arrays)
         ]
-        k = 2
-        while k <= (1 << log_b):
-            k_bit = int(k).bit_length() - 1
-            if k_bit < mb:
-                bit_k = None
-            elif k_bit < log_b:
-                bit_k = _tile_bit(mb, k_bit)
-            else:  # k == B: region bit comes from the block index
-                bit_k = (beta & 1) == 1
-            j = k // 2
-            while j >= 1:
-                s = int(j).bit_length() - 1
-                mem = _stage(
-                    mem, n_arrays, n_words, mb, log_b, s, bit_k, k_bit
-                )
-                j //= 2
-            k *= 2
+        mem = _run_block_network(mem, n_arrays, n_words, mb, log_b, beta)
         for x in range(n_arrays):
             for m in range(n_members):
                 outs[x][8 * m : 8 * m + 8, :] = mem[x][m]
 
     return kernel
+
+
+def _block_sort_keybuild_kernel(k: int, n_words: int, log_b: int):
+    """Fused keybuild + phase A: read raw codes (+halo) and validity,
+    derive the W sentinel-marked canonical key words in VMEM
+    (ops/keybuild.derive_canonical), then run the whole block network —
+    the key words never round-trip through HBM between construction and
+    the sort (VERDICT round-3 #10; RADULS fuses passes the same way,
+    dependency/Raduls/raduls.h:349-546).
+
+    Phase A sorts, so the arbitrary initial placement of logical elements
+    in the permuted member map needs no input permute (same argument as
+    block_sort_member)."""
+    rows, n_members, mb = _geometry(log_b)
+
+    def kernel(codes_ref, valid_ref, *refs):
+        outs = refs[:n_words]
+        scratch_c, scratch_v, sems = refs[n_words:]
+        from . import keybuild
+
+        keybuild.load_codes_valid(
+            codes_ref, valid_ref, scratch_c, scratch_v, sems, rows
+        )
+        canon = keybuild.derive_canonical(
+            scratch_c[:].astype(jnp.uint32), scratch_v[:] == 0, k
+        )
+        beta = pl.program_id(0)
+        mem = [
+            [canon[x][8 * m : 8 * m + 8, :] for m in range(n_members)]
+            for x in range(n_words)
+        ]
+        mem = _run_block_network(mem, n_words, n_words, mb, log_b, beta)
+        for x in range(n_words):
+            for m in range(n_members):
+                outs[x][8 * m : 8 * m + 8, :] = mem[x][m]
+
+    return kernel
+
+
+def block_sort_keybuild(
+    codes2d: jnp.ndarray,
+    valid2d: jnp.ndarray,
+    k: int,
+    log_b: int = LOG_B,
+) -> list[jnp.ndarray]:
+    """codes2d (n/128 + 8, 128) int32 (8 halo rows appended), valid2d
+    (n/128, 128) int32 -> W permuted-layout block-sorted key arrays
+    (alternating asc/desc), exactly what merge_levels(tail='member')
+    consumes. n must be a multiple of 2^log_b."""
+    n = valid2d.shape[0] * LANES
+    block = 1 << log_b
+    rows, _, _ = _geometry(log_b)
+    assert n % block == 0, (n, block)
+    n_blocks = n // block
+    w_count = (k + 15) // 16
+    spec = pl.BlockSpec(
+        (rows, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _block_sort_keybuild_kernel(k, w_count, log_b),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[spec] * w_count,
+        out_shape=[
+            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)
+        ] * w_count,
+        scratch_shapes=[
+            pltpu.VMEM((rows + 8, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=pallas_sort._INTERPRET,
+    )(codes2d, valid2d)
+    return [o.reshape(n) for o in out]
 
 
 def block_sort_member(

@@ -524,6 +524,60 @@ def sort_words(
     return arrays[:n_words], arrays[n_words:]
 
 
+def sort_codes_fused(
+    codes: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    block_rows: int = 512,
+    fuse_bits: int = 4,
+) -> list[jnp.ndarray]:
+    """codes (N,) int8 + valid (N,) bool -> W ascending sentinel-marked key
+    word arrays, with the canonical-key construction fused INTO phase A of
+    the member sort (pallas_msort.block_sort_keybuild): the key words never
+    round-trip through HBM between keybuild and the block sort, saving
+    ~2 HBM passes per word vs canonical_keys_fused + sort_words.
+
+    Only the plain single-chip path qualifies (no payloads, no key mixing);
+    callers with either fall back to the unfused pair.
+    """
+    from . import pallas_msort
+
+    w_count = (k + 15) // 16
+    n = codes.shape[0]
+    if n == 0:
+        return [jnp.zeros(0, jnp.uint32) for _ in range(w_count)]
+    if _INTERPRET and block_rows > 16:
+        block_rows = 16  # same tractable-interpret geometry as sort_words
+    block = block_rows * LANES
+
+    n_blocks = max(1, -(-n // block))
+    m = 1
+    while m < n_blocks:
+        m *= 2
+    n_pad = m * block
+    halo = 8 * LANES
+    codes_p = jnp.concatenate(
+        [codes.astype(jnp.int32), jnp.zeros(n_pad - n + halo, jnp.int32)]
+    )
+    valid_p = jnp.concatenate(
+        [valid, jnp.zeros(n_pad - n, dtype=valid.dtype)]
+    ).astype(jnp.int32)
+
+    log_b = int(block).bit_length() - 1
+    assert block & (block - 1) == 0 and log_b >= 11, block
+
+    arrays = pallas_msort.block_sort_keybuild(
+        codes_p.reshape(-1, LANES), valid_p.reshape(-1, LANES), k, log_b
+    )
+    if n_pad > block:
+        fuse_bits = cap_fuse_bits(fuse_bits, block, w_count)
+        arrays = merge_levels(
+            arrays, w_count, block_rows, fuse_bits, tail="member"
+        )
+    arrays = [pallas_msort.unpermute_blocks(a, log_b) for a in arrays]
+    return [a[:n] for a in arrays]
+
+
 def merge_runs(
     arrays: Sequence[jnp.ndarray],
     n_words: int,

@@ -183,7 +183,14 @@ def _count_core(
 ):
     """codes (N,) int8, valid (N,) bool -> sorted keys, counts, keep mask.
     Traced under both the raw-array and the packed-wire entry jits."""
-    if fuse_keybuild:
+    if fuse_keybuild and sort_backend == "pallas":
+        # Keybuild fused INTO phase A of the member sort: the key words
+        # never round-trip through HBM between construction and sorting.
+        from .ops import pallas_sort, sort as _s
+
+        words_s = pallas_sort.sort_codes_fused(codes, valid, k)
+        inv_s = (~_s.sentinel_valid(words_s)).astype(jnp.uint32)
+    elif fuse_keybuild:
         from .ops import keybuild
 
         marked = keybuild.canonical_keys_fused(codes, valid, k)
