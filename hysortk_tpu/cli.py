@@ -118,12 +118,12 @@ def main(argv=None) -> int:
         cfg.routing == "supermer"
         and args.stream_batch_bases
         and (args.num_processes or 1) > 1
-        and not cfg.extension
+        and cfg.extension
     ):
         p.error(
-            "--routing supermer --stream-batch-bases is single-process "
-            "only (multi-process supermer streaming is not implemented; "
-            "use range routing or drop --stream-batch-bases)"
+            "--routing supermer --extension --stream-batch-bases is "
+            "single-process only (use range routing for multi-process "
+            "EXT streaming)"
         )
 
     if args.coordinator:

@@ -315,11 +315,11 @@ def count_fasta_multihost_streaming(
     if cfg.routing == "supermer":
         # This loop's exchange is the key-space one; silently running it
         # under a supermer request would swap the wire format the caller
-        # asked for (advisor round-3). Single-process supermer streaming
-        # lives in supermer_route.count_reads_supermer_streaming.
-        raise ValueError(
-            "supermer routing has no multi-process streaming path; use "
-            "range routing, or supermer without --stream-batch-bases"
+        # asked for (advisor round-3). Dispatch to the supermer rounds.
+        from . import supermer_route
+
+        return supermer_route.count_fasta_multihost_supermer_streaming(
+            fasta_path, cfg, batch_bases
         )
 
     codes, lengths = read_my_shard(fasta_path, cfg)

@@ -51,6 +51,7 @@ __all__ = [
     "count_reads_supermer_ext",
     "count_reads_supermer_exchange",
     "count_reads_supermer_streaming",
+    "count_fasta_multihost_supermer_streaming",
     "count_fasta_multihost_supermer",
     "host_destinations",
     "wire_nbytes",
@@ -631,6 +632,73 @@ def _exchange_count_supermer_jit(
     )(packed, lengths)
 
 
+def _prepare_exchange_arrays(
+    flat_codes, flat_valid, shard_of, lengths, read_id_offset,
+    cfg: KmerConfig, num_shards: int, n_local: int, multiproc: bool,
+    ext: bool, min_block_len: int = 0, min_lmax: int = 1,
+):
+    """Encode this host's supermer streams and lay them out as the
+    (src local device, dst shard) exchange segments of one common shape.
+    Returns (packed, lens, rid0, pos0, block_len, lmax); block_len/lmax
+    are allgathered so the collective shape agrees across hosts, and
+    min_block_len/min_lmax let a streaming loop hold one compiled shape
+    across batches (grow-only)."""
+    from ..io import supermer as supermer_io
+
+    if ext:
+        streams = supermer_io.encode_supermer_streams_ext(
+            flat_codes, flat_valid, shard_of, cfg.k, num_shards,
+            lengths, read_id_offset,
+        )
+    else:
+        streams = supermer_io.encode_supermer_streams(
+            flat_codes, flat_valid, shard_of, cfg.k, num_shards
+        )
+    # Segment (src local device, dst shard): this host's per-dst stream
+    # split across its local devices on supermer boundaries.
+    segs = [[None] * num_shards for _ in range(n_local)]
+    for s, stream in enumerate(streams):
+        for d, sub in enumerate(split_stream(*stream[:2], n_local,
+                                             *stream[2:])):
+            segs[d][s] = sub
+
+    cmax = max(
+        (sub[0].shape[0] for row in segs for sub in row), default=0
+    )
+    smax = max(
+        (sub[1].shape[0] for row in segs for sub in row), default=0
+    )
+    gran = int(np.lcm(16, cfg.pad_multiple))
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        dims = multihost_utils.process_allgather(
+            np.asarray([cmax, smax], dtype=np.int64)
+        )
+        cmax, smax = int(dims[:, 0].max()), int(dims[:, 1].max())
+    block_len = -(-max(cmax + 16, gran, min_block_len) // gran) * gran
+    lmax = max(smax, 1, min_lmax)
+
+    packed = np.zeros(
+        (n_local, num_shards, block_len // 16), dtype=np.uint32
+    )
+    lens = np.zeros((n_local, num_shards, lmax), dtype=np.int32)
+    rid0 = np.zeros((n_local, num_shards, lmax), dtype=np.int32)
+    pos0 = np.zeros((n_local, num_shards, lmax), dtype=np.uint32)
+    for d in range(n_local):
+        for s in range(num_shards):
+            c, ln = segs[d][s][:2]
+            buf = np.zeros(block_len, dtype=np.int8)
+            buf[: c.shape[0]] = c
+            packed[d, s] = supermer_io.pack_codes_2bit(buf)
+            lens[d, s, : ln.shape[0]] = ln
+            if ext:
+                r, p = segs[d][s][2:]
+                rid0[d, s, : r.shape[0]] = r
+                pos0[d, s, : p.shape[0]] = p
+    return packed, lens, rid0, pos0, block_len, lmax
+
+
 def count_reads_supermer_exchange(
     codes: np.ndarray,
     lengths: np.ndarray,
@@ -698,57 +766,10 @@ def count_reads_supermer_exchange(
             heavy_per_shard = _allgather_entry_lists(heavy_per_shard)
     shard_of = assign[dest]
 
-    if ext:
-        streams = supermer_io.encode_supermer_streams_ext(
-            flat_codes, flat_valid, shard_of, cfg.k, num_shards,
-            lengths, read_id_offset,
-        )
-    else:
-        streams = supermer_io.encode_supermer_streams(
-            flat_codes, flat_valid, shard_of, cfg.k, num_shards
-        )
-    # Segment (src local device, dst shard): this host's per-dst stream
-    # split across its local devices on supermer boundaries.
-    segs = [[None] * num_shards for _ in range(n_local)]
-    for s, stream in enumerate(streams):
-        for d, sub in enumerate(split_stream(*stream[:2], n_local,
-                                             *stream[2:])):
-            segs[d][s] = sub
-
-    cmax = max(
-        (sub[0].shape[0] for row in segs for sub in row), default=0
+    packed, lens, rid0, pos0, block_len, lmax = _prepare_exchange_arrays(
+        flat_codes, flat_valid, shard_of, lengths, read_id_offset,
+        cfg, num_shards, n_local, multiproc, ext,
     )
-    smax = max(
-        (sub[1].shape[0] for row in segs for sub in row), default=0
-    )
-    gran = int(np.lcm(16, cfg.pad_multiple))
-    if multiproc:
-        from jax.experimental import multihost_utils
-
-        dims = multihost_utils.process_allgather(
-            np.asarray([cmax, smax], dtype=np.int64)
-        )
-        cmax, smax = int(dims[:, 0].max()), int(dims[:, 1].max())
-    block_len = -(-max(cmax + 16, gran) // gran) * gran
-    lmax = max(smax, 1)
-
-    packed = np.zeros(
-        (n_local, num_shards, block_len // 16), dtype=np.uint32
-    )
-    lens = np.zeros((n_local, num_shards, lmax), dtype=np.int32)
-    rid0 = np.zeros((n_local, num_shards, lmax), dtype=np.int32)
-    pos0 = np.zeros((n_local, num_shards, lmax), dtype=np.uint32)
-    for d in range(n_local):
-        for s in range(num_shards):
-            c, ln = segs[d][s][:2]
-            buf = np.zeros(block_len, dtype=np.int8)
-            buf[: c.shape[0]] = c
-            packed[d, s] = supermer_io.pack_codes_2bit(buf)
-            lens[d, s, : ln.shape[0]] = ln
-            if ext:
-                r, p = segs[d][s][2:]
-                rid0[d, s, : r.shape[0]] = r
-                pos0[d, s, : p.shape[0]] = p
 
     cfg2 = resolved_cfg(
         cfg, num_shards * block_len, extra_operands=2 if ext else 0
@@ -813,6 +834,199 @@ def count_reads_supermer_exchange(
             kmerlist, _sum_entry_lists(heavy_per_shard), cfg
         )
     return kmerlist, host_histogram(kmerlist.counts, cfg.upper)
+
+
+def count_fasta_multihost_supermer_streaming(
+    fasta_path: str, cfg: KmerConfig, batch_bases: int = 1 << 26
+):
+    """Bounded-memory multi-process supermer counting: every host streams
+    its read shard through the on-fabric supermer exchange in device
+    batches of batch_bases — the direct TPU form of the reference's
+    fixed-size supermer rounds across ranks (src/kmerops.cpp:587-643).
+    UNFILTERED per-batch partials accumulate per local device shard (the
+    batch-0 bucket assignment fixes key ownership) and one final
+    collective merge applies [L,U]. Heavy buckets pre-count host-side per
+    batch and join the final merge as one extra sorted run per shard.
+    """
+    import dataclasses
+
+    from jax.sharding import NamedSharding
+    from ..io import fasta as fasta_io
+    from ..pipeline import resolved_cfg
+    from . import dispatch, multihost
+    from . import pipeline as shard_pipeline
+
+    assert cfg.routing == "supermer", cfg.routing
+    if cfg.extension:
+        raise ValueError(
+            "EXT multi-process supermer streaming is not supported; use "
+            "range routing for EXT streaming across processes"
+        )
+    codes, lengths = multihost.read_my_shard(fasta_path, cfg)
+    mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
+    num_shards = mesh.devices.size
+    pidx = jax.process_index()
+    local_idx = [
+        i for i, d in enumerate(mesh.devices.flat)
+        if d.process_index == pidx
+    ]
+    n_local = len(local_idx)
+    multiproc = jax.process_count() > 1
+    num_buckets = num_shards * cfg.avg_buckets_per_shard
+    w = cfg.words
+
+    spans = shard_pipeline.batch_spans(lengths, batch_bases)
+    nb = len(spans)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        nb = int(multihost_utils.process_allgather(np.asarray(nb)).max())
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+
+    partial_k: list[list[np.ndarray]] = [[] for _ in range(n_local)]
+    partial_c: list[list[np.ndarray]] = [[] for _ in range(n_local)]
+    heavy_acc: list[list[tuple[np.ndarray, np.ndarray]]] = [
+        [] for _ in range(n_local)
+    ]
+    assign = None
+    cfg2 = None
+    tblock, tlmax = 0, 1
+
+    def globalize(arr):
+        if not multiproc:
+            return jnp.asarray(arr.reshape(-1))
+        sharding = NamedSharding(mesh, P(SHARD_AXIS))
+        flat = np.ascontiguousarray(arr.reshape(-1))
+        return jax.make_array_from_process_local_data(
+            sharding, flat, (num_shards * flat.size // n_local,)
+        )
+
+    for i in range(nb):
+        if i < len(spans):
+            s0, e0 = spans[i]
+            b_codes = codes[offsets[s0]: offsets[e0]]
+            b_lengths = lengths[s0:e0]
+        else:
+            b_codes = np.zeros(0, dtype=codes.dtype)
+            b_lengths = np.zeros(0, dtype=np.int64)
+        flat_codes, flat_valid = fasta_io.flatten_for_device(
+            b_codes, b_lengths, cfg.k, cfg.pad_multiple
+        )
+        dest = host_destinations(flat_codes, cfg.k, cfg.m, num_buckets)
+        sizes = np.bincount(
+            dest[flat_valid.astype(bool)], minlength=num_buckets
+        ).astype(np.int64)
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            sizes = np.asarray(
+                multihost_utils.process_allgather(sizes).sum(axis=0),
+                dtype=np.int64,
+            )
+        types = np.zeros(num_buckets, np.int32)
+        if cfg.classifier == "heavy_hitter":
+            types = dispatch.classify(sizes, cfg.heavy_ratio)
+        if assign is None:
+            dispatch_sizes = np.where(types == dispatch.HEAVY, 0, sizes)
+            if cfg.dispatcher == "balanced":
+                assign = dispatch.balanced_assignment(
+                    dispatch_sizes, num_shards
+                )
+            else:
+                assign = dispatch.round_robin_assignment(
+                    num_buckets, num_shards
+                )
+        if (types == dispatch.HEAVY).any():
+            flat_valid, per_shard = heavy_precount(
+                flat_codes, flat_valid, dest, types, assign, cfg.k,
+                num_shards,
+            )
+            if multiproc:
+                per_shard = _allgather_entry_lists(per_shard)
+            for d, g in enumerate(local_idx):
+                if per_shard[g][0].shape[0]:
+                    heavy_acc[d].append(per_shard[g])
+        shard_of = assign[dest]
+
+        packed, lens, _, _, block_len, lmax = _prepare_exchange_arrays(
+            flat_codes, flat_valid, shard_of, b_lengths, 0,
+            cfg, num_shards, n_local, multiproc, ext=False,
+            min_block_len=tblock, min_lmax=tlmax,
+        )
+        tblock, tlmax = max(tblock, block_len), max(tlmax, lmax)
+        if cfg2 is None:
+            cfg2 = dataclasses.replace(
+                resolved_cfg(cfg, num_shards * block_len), unfiltered=True
+            )
+        keys, cnt, keep = _exchange_count_supermer_jit(
+            globalize(packed), globalize(lens),
+            cfg=cfg2, num_shards=num_shards, block_len=block_len,
+            lmax=lmax, mesh=mesh,
+        )
+        keep_l = multihost._local_shards(keep)
+        cnt_l = multihost._local_shards(cnt)
+        words_l = [multihost._local_shards(x) for x in keys]
+        out_len = keep_l.shape[0] // n_local
+        for d in range(n_local):
+            sl = slice(d * out_len, (d + 1) * out_len)
+            km = keep_l[sl]
+            partial_k[d].append(
+                np.stack([x[sl][km] for x in words_l], axis=-1)
+            )
+            partial_c[d].append(cnt_l[sl][km].astype(np.uint32))
+
+    # Heavy entries: one extra ascending run per local shard.
+    for d in range(n_local):
+        if heavy_acc[d]:
+            uk, cnts = _sum_entry_lists(heavy_acc[d])
+            partial_k[d].append(uk)
+            partial_c[d].append(cnts.astype(np.uint32))
+
+    npart = max((len(pk) for pk in partial_k), default=1)
+    run_len = max(
+        (a.shape[0] for pk in partial_k for a in pk), default=1
+    )
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        dims = multihost_utils.process_allgather(
+            np.asarray([run_len, npart])
+        )
+        run_len, npart = int(dims[:, 0].max()), int(dims[:, 1].max())
+    run_len = shard_pipeline._next_pow2(max(run_len, 1))
+    n_runs = shard_pipeline._next_pow2(max(nb, npart, 1))
+    local_k = np.full(
+        (n_local, n_runs, run_len, w), 0xFFFFFFFF, dtype=np.uint32
+    )
+    local_c = np.zeros((n_local, n_runs, run_len), dtype=np.uint32)
+    for d in range(n_local):
+        for b, (ks, cs) in enumerate(zip(partial_k[d], partial_c[d])):
+            local_k[d, b, : ks.shape[0]] = ks
+            local_c[d, b, : cs.shape[0]] = cs
+    flat_len = (num_shards * n_runs * run_len,)
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+
+    def glob_flat(arr):
+        if not multiproc:
+            return jnp.asarray(arr)
+        return jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(arr), flat_len
+        )
+
+    words_g = tuple(
+        glob_flat(local_k[:, :, :, i].reshape(-1)) for i in range(w)
+    )
+    cnts_g = glob_flat(local_c.reshape(-1))
+    keys_s, total, keep = shard_pipeline._merge_partials_jit(
+        words_g, cnts_g,
+        cfg=cfg, num_shards=num_shards, run_len=run_len, mesh=mesh,
+    )
+    kmerlist = multihost._gather_kmerlist(
+        keys_s, total, keep, cfg, unmix=False
+    )
+    return kmerlist, multihost._global_histogram(
+        kmerlist.counts, cfg.upper
+    )
 
 
 def _assemble_ext(keys, cnt, keep, srid, spos, cfg, multiproc):

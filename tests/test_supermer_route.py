@@ -363,3 +363,26 @@ def test_supermer_streaming_ext_delegates():
         for km, rr, pp in zip(kl.decoded(), kl.rid, kl.pos)
     }
     assert got == {km: occ[km] for km in filt}
+
+
+def test_multihost_supermer_streaming_single_process(tmp_path):
+    """count_fasta_multihost_supermer_streaming degenerates to bounded
+    single-process rounds; must equal the one-shot exchange result."""
+    rng = np.random.default_rng(79)
+    reads = oracle.random_reads(rng, 40, 40, 100)
+    reads = reads + reads[:16]
+    fasta = tmp_path / "sms.fa"
+    with open(fasta, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer",
+                     pad_multiple=128)
+    kl, hist = supermer_route.count_fasta_multihost_supermer_streaming(
+        str(fasta), cfg, batch_bases=1000
+    )
+    assert kl.as_dict() == _expect(reads, cfg)
+    kl1, hist1 = supermer_route.count_fasta_multihost_supermer(
+        str(fasta), cfg
+    )
+    assert kl.as_dict() == kl1.as_dict()
+    np.testing.assert_array_equal(hist, hist1)

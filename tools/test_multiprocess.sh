@@ -114,6 +114,19 @@ sme_payload = {
 with open(f"{tmp}/out/sme_{pid}.json", "w") as f:
     json.dump(sme_payload, f)
 
+# Bounded supermer ROUNDS across 2 real processes (the reference's
+# fixed-size supermer exchange rounds, src/kmerops.cpp:587-643): tiny
+# batches force several collective rounds; equality vs one-shot.
+kl_sms, hist_sms = supermer_route.count_fasta_multihost_supermer_streaming(
+    f"{tmp}/mp.fa", cfg_sm, batch_bases=1200
+)
+assert np.array_equal(hist_sms, hist_sm), "supermer streaming histogram"
+# Shard ownership may differ from the one-shot run (assignment comes from
+# batch-0 sizes); compare the cross-process UNION at pid 0 instead.
+with open(f"{tmp}/out/sms_{pid}.json", "w") as f:
+    json.dump({km.decode(): int(c)
+               for km, c in zip(kl_sms.decoded(), kl_sms.counts)}, f)
+
 # Density of this host's exchange stream: <= 2 bits/base + 4 B/supermer.
 flat_c, flat_v = fasta_io.flatten_for_device(
     codes_w, lengths_w, cfg_sm.k, cfg_sm.pad_multiple
@@ -168,6 +181,15 @@ if pid == 0:
         assert not (set(part) & set(sm_union)), "kmer owned by both shards"
         sm_union.update(part)
     assert {k.encode(): v for k, v in sm_union.items()} == want
+
+    # Supermer STREAMING union across processes == the filtered oracle.
+    sms_union = {}
+    for p in (0, 1):
+        with open(f"{tmp}/out/sms_{p}.json") as f:
+            part = json.load(f)
+        assert not (set(part) & set(sms_union)), "kmer owned by both shards"
+        sms_union.update(part)
+    assert {k.encode(): v for k, v in sms_union.items()} == want
 
     # Supermer EXT union must equal the range-routed EXT union exactly.
     sme_union = {}
