@@ -1343,7 +1343,7 @@ def count_reads_sharded_ext(
         from . import supermer_route
 
         return supermer_route.count_reads_supermer_ext(
-            codes, lengths, cfg, mesh, read_id_offset
+            codes, lengths, cfg, mesh, read_id_offset, min_dims
         )
     num_shards = mesh.devices.size
     cfg = resolved_cfg(

@@ -1138,9 +1138,12 @@ def count_reads_supermer_ext(
     cfg: KmerConfig,
     mesh: Optional[Mesh] = None,
     read_id_offset: int = 0,
+    min_dims: tuple[int, int] = (0, 1),
 ):
     """EXT supermer dispatch: per-kmer (rid, pos) occurrence lists with the
-    run-format wire (+8 B/supermer of {rid0, pos0} headers)."""
+    run-format wire (+8 B/supermer of {rid0, pos0} headers). min_dims =
+    (min_block_len, min_lmax) lets the EXT streaming wrapper hold one
+    compiled shape across batches."""
     from ..io import fasta as fasta_io, supermer as supermer_io
     from ..pipeline import (
         KmerListExt, compact_keys, host_histogram, resolved_cfg,
@@ -1171,9 +1174,9 @@ def count_reads_supermer_ext(
         lengths, read_id_offset,
     )
     gran = int(np.lcm(16, cfg.pad_multiple))
-    raw = max(max(c.shape[0] for c, *_ in streams) + 16, gran)
+    raw = max(max(c.shape[0] for c, *_ in streams) + 16, gran, min_dims[0])
     block_len = -(-raw // gran) * gran
-    lmax = max(max(l.shape[0] for _, l, *_ in streams), 1)
+    lmax = max(max(l.shape[0] for _, l, *_ in streams), 1, min_dims[1])
 
     packed = np.zeros((num_shards, block_len // 16), dtype=np.uint32)
     lens2d = np.zeros((num_shards, lmax), dtype=np.int32)
