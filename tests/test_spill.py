@@ -174,3 +174,32 @@ def test_capacity_is_exact_at_pow2_batches():
     ext = dataclasses.replace(cfg, extension=True)
     cap_ext = range_capacity(1 << 26, 8, ext)
     assert spill.split_capacity(cap_ext)[1] == 0
+
+
+def test_streaming_async_overflow_retry(monkeypatch):
+    """A mid-stream overflow (capacity forced below a batch's segment max)
+    must be caught at settle time and re-run at doubled capacity without
+    corrupting FIFO partial order (async window exercised with depth 4)."""
+    from hysortk_tpu.parallel.mesh import make_mesh
+    from hysortk_tpu.parallel.pipeline import (
+        count_reads_sharded, count_reads_sharded_streaming,
+    )
+
+    rng = np.random.default_rng(47)
+    reads = oracle.random_reads(rng, 80, 40, 80)
+    cfg = KmerConfig(k=15, m=7, lower=1, upper=1000, pad_multiple=128)
+    mesh = make_mesh(jax.devices())
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    # Absurdly small capacity: every batch overflows at least once and the
+    # settle loop must double its way out (m=8, sc=4 -> 16+8 -> ...).
+    _force_capacity(monkeypatch, 8 + 4)
+    kl, _ = count_reads_sharded_streaming(
+        codes, lengths, cfg, batch_bases=1400, mesh=mesh
+    )
+    want = {
+        k.encode(): v
+        for k, v in oracle.oracle_filtered(
+            reads, cfg.k, cfg.lower, cfg.upper
+        ).items()
+    }
+    assert kl.as_dict() == want
