@@ -110,3 +110,34 @@ def test_supermer_routing_matches_reference_binary(fasta, tmp_path):
     assert kl.as_dict() == want
     kl2, _ = count_reads_supermer_exchange(codes, lengths, cfg, mesh)
     assert kl2.as_dict() == want
+
+
+def test_sharded_spill_matches_reference_binary(fasta, tmp_path, monkeypatch):
+    """Golden equality for the exact-capacity range exchange under FORCED
+    spill: the planned capacity is shrunk so segments routinely overhang
+    into the spill lane (ops/spill.py), and the sharded result must still
+    reproduce the reference binary's {kmer, count} set exactly."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual CPU mesh")
+    from hysortk_tpu.parallel import pipeline as sp
+    from hysortk_tpu.parallel.mesh import make_mesh
+    from hysortk_tpu.parallel.pipeline import count_reads_sharded
+
+    outdir = tmp_path / "ref_out"
+    outdir.mkdir()
+    proc = subprocess.run(
+        [ORACLE_BIN, fasta, str(outdir) + "/"],
+        capture_output=True, text=True, timeout=600,
+    )
+    proc.check_returncode()
+    want = writer.parse_output_files(str(outdir))
+
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50)
+    codes, lengths = read_dna_buffer(fasta)
+    # ~26k valid kmers over 64 segments => mean ~410; m=256 forces every
+    # segment through the spill protocol (retry doubles keep the split).
+    monkeypatch.setattr(sp, "range_capacity", lambda *a, **k: 256 + 128)
+    kl, _ = count_reads_sharded(codes, lengths, cfg, make_mesh())
+    assert kl.as_dict() == want
