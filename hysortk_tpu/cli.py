@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--no-histogram", action="store_true")
+    p.add_argument(
+        "--validate", action="store_true",
+        help="after counting, cross-check the result against a brute-force "
+             "host oracle (runtime sanitizer; inputs up to ~4 Mb — larger "
+             "inputs are refused, use the golden test harness instead)")
     return p
 
 
@@ -258,6 +263,40 @@ def main(argv=None) -> int:
             kmerlist, hist = kmer_count(codes, lengths, cfg)
     log.root(f"{len(kmerlist)} filtered kmers in "
              f"{timer.last('kmer_count'):.3f}s")
+
+    if args.validate:
+        # Runtime sanitizer (the role ASan/UBSan builds play for the
+        # reference): recount on the host with the brute-force oracle and
+        # require exact {kmer: count} equality. Multi-process runs only
+        # check this process's shard for containment + global size.
+        if codes.size > 4 * 1024 * 1024:
+            p.error("--validate is for inputs up to ~4 Mb")
+        import numpy as np
+
+        from . import testing as _oracle
+
+        offs = np.concatenate([[0], np.cumsum(lengths)])
+        b2c = np.frombuffer(b"ACGT", dtype=np.uint8)
+        reads = [
+            b2c[codes[offs[i]: offs[i + 1]]].tobytes().decode()
+            for i in range(lengths.size)
+        ]
+        want = {
+            km.encode(): c
+            for km, c in _oracle.oracle_filtered(
+                reads, cfg.k, cfg.lower, cfg.upper
+            ).items()
+        }
+        got = kmerlist.as_dict()
+        if multiproc:
+            bad = {km for km, c in got.items() if want.get(km) != c}
+            ok = not bad
+        else:
+            ok = got == want
+        if not ok:
+            log.root("VALIDATE FAILED: device result != host oracle")
+            return 1
+        log.root(f"validate OK ({len(got)} kmers vs host oracle)")
 
     if not args.no_histogram:
         print_kmer_histogram(hist)

@@ -131,3 +131,19 @@ def test_cli_supermer_streaming_end_to_end(tmp_path):
 def test_cli_supermer_single_device_rejected():
     with pytest.raises(SystemExit):
         cli.main(["x.fa", "--routing", "supermer", "--single-device"])
+
+
+def test_cli_validate_flag(tmp_path, capsys):
+    """--validate recounts with the host oracle and reports OK."""
+    rng = np.random.default_rng(15)
+    reads = oracle.random_reads(rng, 16, 40, 80) * 2
+    fasta = tmp_path / "v.fa"
+    with open(fasta, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    rc = cli.main(
+        [str(fasta), "-k", "31", "-m", "17", "-l", "1", "-u", "500",
+         "--single-device", "--validate", "--no-histogram"]
+    )
+    assert rc == 0
+    assert "validate OK" in capsys.readouterr().out
