@@ -179,6 +179,55 @@ def _bounds(cfg: KmerConfig) -> tuple[int, int]:
     return (1, 2**31 - 1) if cfg.unfiltered else (cfg.lower, cfg.upper)
 
 
+def _spill_fold_conditional(
+    merged_w, cnt, spill_w, spill_p, weighted: bool, lower: int, upper: int
+):
+    """Sort + count + fold the spill lane UNDER lax.cond: production
+    batches carry ~3% static validity headroom (>> the hash fluctuation),
+    so the spill plane is all-sentinel almost always and the whole branch
+    — a lax.sort plus a ~log2(n)-gather binary search — must cost nothing
+    then. Returns (cnt2, keep2, x_words, x_cnt, x_keep)."""
+    from ..ops import spill as spill_ops
+
+    full = jnp.uint32(0xFFFFFFFF)
+    has = jnp.any(spill_w[0] != full)
+    lo = max(int(lower), 1)
+    n_words = len(merged_w)
+
+    def no_spill(operands):
+        merged_w_, cnt_, spill_w_, _ = operands
+        keep = (cnt_ >= lo) & (cnt_ <= upper)
+        xw = tuple(jnp.full_like(w, full) for w in spill_w_)
+        xcnt = jnp.zeros(spill_w_[0].shape, jnp.int32)
+        xkeep = jnp.zeros(spill_w_[0].shape, jnp.bool_)
+        return cnt_, keep, xw, xcnt, xkeep
+
+    def with_spill(operands):
+        merged_w_, cnt_, spill_w_, spill_p_ = operands
+        out = jax.lax.sort(
+            tuple(spill_w_) + tuple(spill_p_), num_keys=n_words,
+            is_stable=False,
+        )
+        sw = list(out[:n_words])
+        spp = list(out[n_words:])
+        sv = sort_ops.sentinel_valid(sw)
+        if weighted:
+            head, xc = count_ops.run_length_sum(
+                sv, sw, spp[0].astype(jnp.int32)
+            )
+        else:
+            head, xc = count_ops.run_length_count(sv, sw)
+        cnt2, keep2, xcnt, xkeep = spill_ops.fold_spill_counts(
+            merged_w_, cnt_, sw, head, xc, lower, upper
+        )
+        return cnt2, keep2, tuple(sw), xcnt, xkeep
+
+    return jax.lax.cond(
+        has, with_spill, no_spill,
+        (tuple(merged_w), cnt, tuple(spill_w), tuple(spill_p)),
+    )
+
+
 def _count_merged(merged_words, cfg: KmerConfig):
     """Sorted sentinel-marked words -> (cnt, keep)."""
     lower, upper = _bounds(cfg)
@@ -239,18 +288,13 @@ def _range_exchange_merge(
     recv_w = exchange.mask_invalid_slots(recv_w, recv_valid)
 
     if sc:
-        spill_w = [w[:, m:] for w in recv_w]
-        spill_p = [p[:, m:] for p in recv_p]
+        # Raw masked spill planes; the caller sorts/folds them under a
+        # lax.cond so the common all-sentinel case (production batches
+        # have ~3% static headroom >> the hash fluctuation) pays nothing.
+        spill_words = [w[:, m:].reshape(-1) for w in recv_w]
+        spill_pays = [p[:, m:].reshape(-1) for p in recv_p]
         recv_w = [w[:, :m] for w in recv_w]
         recv_p = [p[:, :m] for p in recv_p]
-        flat_sp = [w.reshape(-1) for w in spill_w] + [
-            p.reshape(-1) for p in spill_p
-        ]
-        sp_sorted = jax.lax.sort(
-            tuple(flat_sp), num_keys=len(spill_w), is_stable=False
-        )
-        spill_words = list(sp_sorted[: len(spill_w)])
-        spill_pays = list(sp_sorted[len(spill_w):])
     else:
         spill_words = [jnp.full((1,), jnp.uint32(0xFFFFFFFF))
                        for _ in recv_w]
@@ -286,16 +330,14 @@ def _shard_body_range(
 
     mixed = _build_marked_mixed(codes.astype(jnp.int8), valid, cfg)
     _, mixed_s, _ = sort_ops.sort_marked(mixed, backend=cfg.sort_backend)
-    merged_w, _, spill_w, _, totals, overflow = _range_exchange_merge(
+    merged_w, _, spill_w, spill_p, totals, overflow = _range_exchange_merge(
         mixed_s, [], cfg, num_shards, capacity
     )
     cnt, keep = _count_merged(merged_w, cfg)
     _, sc = spill_ops.split_capacity(capacity)
     if sc:
-        xsv = sort_ops.sentinel_valid(spill_w)
-        xhead, xcnt = count_ops.run_length_count(xsv, spill_w)
-        cnt, keep, xcnt, xkeep = spill_ops.fold_spill_counts(
-            merged_w, cnt, spill_w, xhead, xcnt, *_bounds(cfg)
+        cnt, keep, spill_w, xcnt, xkeep = _spill_fold_conditional(
+            merged_w, cnt, spill_w, spill_p, False, *_bounds(cfg)
         )
     else:
         xcnt = jnp.zeros(spill_w[0].shape, jnp.int32)
@@ -341,12 +383,8 @@ def _shard_body_range_combiner(
     keep = count_ops.frequency_filter(head2, cnt, *_bounds(cfg))
     _, sc = spill_ops.split_capacity(capacity)
     if sc:
-        xsv = sort_ops.sentinel_valid(spill_w)
-        xhead, xcnt = count_ops.run_length_sum(
-            xsv, spill_w, spill_p[0].astype(jnp.int32)
-        )
-        cnt, keep, xcnt, xkeep = spill_ops.fold_spill_counts(
-            merged_w, cnt, spill_w, xhead, xcnt, *_bounds(cfg)
+        cnt, keep, spill_w, xcnt, xkeep = _spill_fold_conditional(
+            merged_w, cnt, spill_w, spill_p, True, *_bounds(cfg)
         )
     else:
         xcnt = jnp.zeros(spill_w[0].shape, jnp.int32)
