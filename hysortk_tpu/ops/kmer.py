@@ -152,3 +152,36 @@ def encode_kmer(s: str) -> np.ndarray:
         w, j = divmod(i, 16)
         out[w] |= np.uint32(code[ch] << (2 * (15 - j)))
     return out
+
+
+def extend_kmer(key: np.ndarray, code: int, k: int) -> np.ndarray:
+    """Shift one base into a packed (W,) uint32 forward key: the rolling
+    k-mer builder's step next = ((kmer << 2) | code) truncated to k bases
+    (reference Kmer::GetExtension, include/kmer.hpp:248-262; used by its
+    sequence scanner at :328). Works on numpy or jax arrays alike — the
+    ops are plain shifts/ors.
+
+    Layout matches encode_kmer: base 0 in the top crumb of word 0; the
+    last word's unused low bits stay zero.
+    """
+    w_count = (k + 15) // 16
+    assert key.shape[-1] == w_count, (key.shape, w_count)
+    two = key.dtype.type(2)
+    shifted = [key[..., i] << two for i in range(w_count)]
+    for i in range(w_count - 1):
+        shifted[i] = shifted[i] | (key[..., i + 1] >> key.dtype.type(30))
+    # Deposit the new base at position k-1 and re-mask the tail word.
+    w, j = divmod(k - 1, 16)
+    shifted[w] = shifted[w] | key.dtype.type(
+        (int(code) & 3) << (2 * (15 - j))
+    )
+    r_last = k - 16 * (w_count - 1)
+    if r_last < 16:
+        shifted[-1] = shifted[-1] & key.dtype.type(
+            (0xFFFFFFFF << (32 - 2 * r_last)) & 0xFFFFFFFF
+        )
+    if isinstance(key, np.ndarray):
+        return np.stack(shifted, axis=-1)
+    import jax.numpy as jnp
+
+    return jnp.stack(shifted, axis=-1)

@@ -97,3 +97,16 @@ def test_superfasthash_vectors():
     assert superfasthash(b"a") == 291415938
     assert superfasthash(b"ACGTACGT") == 402222667
     assert superfasthash(b"hello world") == 2794219650
+
+
+@pytest.mark.parametrize("k", [15, 16, 31, 32, 55, 96])
+def test_extend_kmer_matches_encode(k):
+    """extend_kmer == encode of the shifted string at every word-boundary
+    k (reference Kmer::GetExtension, include/kmer.hpp:248-262)."""
+    from hysortk_tpu.ops.kmer import encode_kmer, extend_kmer
+
+    rng = np.random.default_rng(k)
+    s = "".join(rng.choice(list("ACGT"), size=k))
+    for i, base in enumerate("ACGT"):
+        got = extend_kmer(encode_kmer(s).astype(np.uint32), i, k)
+        assert np.array_equal(got, encode_kmer(s[1:] + base))
