@@ -183,9 +183,16 @@ def _count_core(
 ):
     """codes (N,) int8, valid (N,) bool -> sorted keys, counts, keep mask.
     Traced under both the raw-array and the packed-wire entry jits."""
-    if fuse_keybuild and sort_backend == "pallas":
+    import os as _os
+
+    if (
+        fuse_keybuild and sort_backend == "pallas"
+        and not _os.environ.get("HYSORTK_NO_FUSED_SORT")
+    ):
         # Keybuild fused INTO phase A of the member sort: the key words
         # never round-trip through HBM between construction and sorting.
+        # HYSORTK_NO_FUSED_SORT=1 falls back to the unfused pair (chip
+        # triage knob; read at trace time).
         from .ops import pallas_sort, sort as _s
 
         words_s = pallas_sort.sort_codes_fused(codes, valid, k)
