@@ -187,12 +187,15 @@ def _count_core(
 
     if (
         fuse_keybuild and sort_backend == "pallas"
-        and not _os.environ.get("HYSORTK_NO_FUSED_SORT")
+        and _os.environ.get("HYSORTK_FUSED_SORT")
     ):
         # Keybuild fused INTO phase A of the member sort: the key words
         # never round-trip through HBM between construction and sorting.
-        # HYSORTK_NO_FUSED_SORT=1 falls back to the unfused pair (chip
-        # triage knob; read at trace time).
+        # Chip-measured at 2^26/K=31 (tools/bench_fused_sort.py, round 4):
+        # fused 177.5 ms vs unfused pair 175.4 — parity, not a win (the
+        # fused phase A's in-kernel keybuild costs what the saved HBM
+        # passes bought), so the proven unfused pair stays the default and
+        # HYSORTK_FUSED_SORT=1 opts in (read at trace time).
         from .ops import pallas_sort, sort as _s
 
         words_s = pallas_sort.sort_codes_fused(codes, valid, k)
