@@ -86,6 +86,11 @@ def probe() -> int:
 
 def child() -> int:
     """The actual measurement (runs after a probe confirmed the backend)."""
+    # Keybuild-fused member sort: standalone it measures parity with the
+    # unfused pair (177.5 vs 175.4 ms at 2^26), but in the full pipeline it
+    # repeatedly edges it out (490.2M vs 484.8M sustained on chip) — opt in
+    # here; the library default stays the unfused pair.
+    os.environ.setdefault("HYSORTK_FUSED_SORT", "1")
     jax = _configure_jax()
 
     from hysortk_tpu.config import KmerConfig

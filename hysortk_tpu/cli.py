@@ -87,6 +87,20 @@ def main(argv=None) -> int:
     p = build_parser()
     args = p.parse_args(argv)
 
+    import os as _os_log
+
+    # HYSORTK_LOG=info (or debug) surfaces the internal stage logs — the
+    # streaming scheduler stamps drain/consolidation/pull spans with byte
+    # counts, the tool that found the round-4 e2e pull bottleneck.
+    lvl = _os_log.environ.get("HYSORTK_LOG")
+    if lvl:
+        import logging as _logging
+
+        _logging.basicConfig(
+            level=getattr(_logging, lvl.upper(), _logging.INFO),
+            format="%(asctime)s %(name)s %(message)s",
+        )
+
     import jax
 
     try:

@@ -15,6 +15,10 @@ work runs, the host packs batch i+1.
 
 from __future__ import annotations
 
+import functools
+import logging
+import os
+import time
 from typing import Iterator
 
 import jax
@@ -22,7 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import KmerConfig
+from ..ops import count as count_ops
+from ..ops import merge as merge_ops
+from ..ops import sort as sort_ops
 from ..pipeline import KmerList
+
+_LOG = logging.getLogger("hysortk_tpu.stream")
 
 
 def read_batch_spans(
@@ -173,33 +182,175 @@ def count_reads_streaming_ext(
     return merged, host_histogram(merged.counts, cfg.upper)
 
 
-def _device_resident_budget_ok(
-    n_batches: int, target: int, words: int, device=None
-) -> bool:
-    """Can all per-batch compacted partials stay in HBM through the final
-    merge? Peak = runs x run_len x (words+1) x 4 B for the retained
-    partials PLUS the same again for the merge output, with ~25% slack for
-    XLA temporaries."""
-    import jax
+def _consolidation_group_size(target: int, words: int, device=None) -> int:
+    """How many run_len-slot runs the device-resident accumulator may hold.
 
+    Per-batch compacted partials stay in HBM; whenever `group` runs have
+    accumulated, a consolidation cycle (merge + duplicate-sum + compact,
+    all on device) folds them into ceil(union/run_len) runs. Transient
+    peak during the cycle ~= held runs + merge concat + merged output +
+    compaction arena ~= 3.3x the held bytes, so
+    group = headroom // (3.3 x run_len x (words+1) x 4 B), rounded down to
+    a power of two (merge program shapes stay padded-stable) and capped at
+    8. Returns 0 to disable device-resident accumulation (host pulls).
+
+    This replaces the round-3 all-or-nothing budget (hold EVERY batch,
+    2.1 x n_batches x run_len), which silently fell back to per-batch
+    host pulls on long streams — measured at 512 Mb through the dev
+    tunnel's ~3 MB/s D2H: 1415 s of a 1426 s e2e wall was pulling.
+    """
+    forced = os.environ.get("HYSORTK_DEVICE_RESIDENT_GROUP")
+    if forced is not None:
+        return int(forced)
     from . import memcheck
 
-    next_pow2 = lambda x: 1 << max(int(x) - 1, 0).bit_length()
-    runs = next_pow2(max(n_batches, 1))
-    # Transient peak = retained partials (runs x run_len x (W+1) x 4 B,
-    # donated into the merge) + the merge output of the same size, plus a
-    # 5% allowance for scan temporaries => ~2.1x retained. A miss is not
-    # fatal: a compile-time HBM OOM drains the partials to the host path.
-    need = int(2.1 * runs * target * (words + 1) * 4)
+    per_run = target * (words + 1) * 4
     headroom = memcheck.hbm_headroom_bytes(device)
     if headroom is None:
         # Backend doesn't report memory stats (some TPU plugins): assume
         # ~14 GB usable of a 16 GB v5e-class chip; refuse on CPU (host RAM
         # pulls are cheap there anyway).
         if jax.default_backend() == "cpu":
-            return False
+            return 0
         headroom = 14 * 1024**3
-    return need < headroom
+    g = int(headroom // int(3.3 * per_run))
+    if g < 2:
+        return 0
+    return 1 << min(g.bit_length() - 1, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("words", "lower", "upper", "run_len", "pad_runs"),
+)
+def _merge_runs_sum(parts_words, parts_cnts, *, words, lower, upper,
+                    run_len, pad_runs):
+    """Concat sorted runs + bitonic run merge + weighted run-length sum +
+    [lower, upper] filter. Consolidation passes (1, 2**31-1) — partial
+    counts must survive unfiltered until the final merge; the final merge
+    passes the real bounds. NOT donated: the caller's fallback drains the
+    same partials to the host when this OOMs at runtime (see ADVICE r3)."""
+    full = jnp.uint32(0xFFFFFFFF)
+    wflat = []
+    for w in range(words):
+        cols = [p[w] for p in parts_words]
+        cols += [jnp.full((run_len,), full, jnp.uint32)] * pad_runs
+        wflat.append(jnp.concatenate(cols))
+    ccols = [c.astype(jnp.uint32) for c in parts_cnts]
+    ccols += [jnp.zeros((run_len,), jnp.uint32)] * pad_runs
+    cflat = jnp.concatenate(ccols)
+    merged = merge_ops.merge_sorted_runs(wflat + [cflat], words, run_len)
+    words_s, pay = merged[:words], merged[words]
+    svalid = sort_ops.sentinel_valid(words_s)
+    head, total = count_ops.run_length_sum(
+        svalid, words_s, pay.astype(jnp.int32)
+    )
+    keep = count_ops.frequency_filter(head, total, lower, upper)
+    return tuple(words_s), total, keep
+
+
+@functools.partial(jax.jit, static_argnames=("sort_backend", "chunk"))
+def _compact_chunk(words_s, total, keep, off, *, sort_backend, chunk):
+    """Fold + sort ONE static slice of a merged result. The merged array
+    is globally sorted, so compacting run_len-sized chunks independently
+    and concatenating preserves order — and every chunk reuses the
+    per-batch compact sort's compiled shape instead of compiling a sort at
+    runs x run_len (giant-program compiles through remote backends measure
+    in hours)."""
+    full = jnp.uint32(0xFFFFFFFF)
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, off, chunk)
+    keep_c = sl(keep)
+    folded = [jnp.where(keep_c, sl(w), full) for w in words_s]
+    _, cw, cp = sort_ops.sort_marked(
+        folded, [sl(total).astype(jnp.uint32)], backend=sort_backend
+    )
+    return tuple(cw), cp[0], jnp.sum(keep_c.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _arena_append(arena_ws, arena_c, chunk_ws, chunk_c, off):
+    """Append a compacted chunk (kept prefix + sentinel tail) into the
+    consolidation arena at a dynamic offset. The sentinel tail lands past
+    the kept prefix and is overwritten by the next append (offsets advance
+    by the kept count), so arena[0:union) ends up densely packed and
+    sorted. Donated: the arena threads through appends in place."""
+    new_ws = tuple(
+        jax.lax.dynamic_update_slice(a, c, (off,))
+        for a, c in zip(arena_ws, chunk_ws)
+    )
+    new_c = jax.lax.dynamic_update_slice(
+        arena_c, chunk_c.astype(jnp.uint32), (off,)
+    )
+    return new_ws, new_c
+
+
+@functools.partial(jax.jit, static_argnames=("run_len",))
+def _extract_run(arena_ws, arena_c, idx, *, run_len):
+    """Copy run idx out of the arena (a fresh buffer, so the big arena can
+    free once every kept run is extracted)."""
+    off = idx * run_len
+    ws = tuple(
+        jax.lax.dynamic_slice_in_dim(a, off, run_len) for a in arena_ws
+    )
+    return ws, jax.lax.dynamic_slice_in_dim(arena_c, off, run_len)
+
+
+def _consolidate_device_runs(dev_words, dev_cnts, cfg, run_len):
+    """Fold the held device-resident runs into ceil(union/run_len)
+    compacted, sentinel-padded sorted runs — duplicate keys summed, NO
+    [L,U] filter (partial counts must survive until the final merge).
+
+    Device-only: nothing crosses the host link except one kept-count
+    scalar per chunk. This is what lets arbitrarily long streams stay on
+    device: run count shrinks back to the union size every `group`
+    batches, the analogue of the reference's ScatteredKmerList pre-count
+    (src/kmerops.cpp:363-417) applied transitively.
+    """
+    t0 = time.perf_counter()
+    g = len(dev_words)
+    next_pow2 = lambda x: 1 << max(int(x) - 1, 0).bit_length()
+    runs = next_pow2(g)
+    words_s, total, keep = _merge_runs_sum(
+        tuple(tuple(p) for p in dev_words), tuple(dev_cnts),
+        words=cfg.words, lower=1, upper=2**31 - 1,
+        run_len=run_len, pad_runs=runs - g,
+    )
+    # Arena one run longer than the merged span: the last chunk's sentinel
+    # tail must land inside the buffer without offset clamping.
+    full = jnp.uint32(0xFFFFFFFF)
+    arena_ws = tuple(
+        jnp.full(((runs + 1) * run_len,), full, jnp.uint32)
+        for _ in range(cfg.words)
+    )
+    arena_c = jnp.zeros(((runs + 1) * run_len,), jnp.uint32)
+    off = 0
+    for ci in range(runs):
+        cw, cp, n_kept = _compact_chunk(
+            list(words_s), total, keep, jnp.int32(ci * run_len),
+            sort_backend=cfg.sort_backend, chunk=run_len,
+        )
+        nk = int(jax.device_get(n_kept))
+        if nk == 0:
+            continue
+        arena_ws, arena_c = _arena_append(
+            arena_ws, arena_c, tuple(cw), cp, jnp.int32(off)
+        )
+        off += nk
+    del words_s, total, keep
+    new_w, new_c, new_n = [], [], []
+    n_runs = -(-off // run_len) if off else 0
+    for i in range(n_runs):
+        ws, c = _extract_run(arena_ws, arena_c, jnp.int32(i),
+                             run_len=run_len)
+        new_w.append(ws)
+        new_c.append(c)
+        new_n.append(min(run_len, off - i * run_len))
+    jax.block_until_ready(new_c) if new_c else None
+    _LOG.info(
+        "consolidate: %d runs -> %d (union %d rows) in %.2fs",
+        g, n_runs, off, time.perf_counter() - t0,
+    )
+    return new_w, new_c, new_n
 
 
 def count_reads_streaming(
@@ -259,32 +410,39 @@ def count_reads_streaming(
     )
     # Device-resident accumulation needs a pow2 run length (the bitonic
     # run merge's geometry) — guaranteed when batch_bases is pow2-snapped
-    # (snap_batch_to_pow2_flat), the production configuration.
-    device_resident = (
-        cfg.device_compact
-        and target & (target - 1) == 0
-        and _device_resident_budget_ok(n_batches, target, cfg.words)
-    )
+    # (snap_batch_to_pow2_flat), the production configuration. `group`
+    # runs are held at a time; consolidation folds them back down on
+    # device, so stream length no longer forces host pulls.
+    group = 0
+    if cfg.device_compact and target & (target - 1) == 0:
+        group = _consolidation_group_size(target, cfg.words)
+    device_resident = group >= 2
     if cfg.device_compact:
-        import logging
-
-        logging.getLogger("hysortk_tpu").info(
-            "streaming: %d batches, target=%d, device_resident=%s",
-            n_batches, target, device_resident,
+        _LOG.info(
+            "streaming: %d batches, target=%d, device_resident=%s group=%d",
+            n_batches, target, device_resident, group,
         )
 
     def _drain_device_partials():
         """Pull retained device partials to host (fallback path)."""
         from ..pipeline import pull_prefix
 
+        t0 = time.perf_counter()
+        nbytes = 0
         for kw, kc, knk in zip(dev_words, dev_cnts, dev_nks):
             nk = int(jax.device_get(knk))
             pulled = pull_prefix(list(kw) + [kc], nk)
             partial_keys.append(np.stack(pulled[:-1], axis=-1))
             partial_cnts.append(pulled[-1].astype(np.uint32))
+            nbytes += sum(p.nbytes for p in pulled)
         dev_words.clear()
         dev_cnts.clear()
         dev_nks.clear()
+        dt = time.perf_counter() - t0
+        _LOG.info(
+            "drain: %.1f MB pulled in %.2fs (%.1f MB/s)",
+            nbytes / 1e6, dt, nbytes / 1e6 / max(dt, 1e-9),
+        )
 
     for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
         # Feed over the 2-bit wire (~2 bits/base + 4 B/read H2D, the
@@ -325,6 +483,19 @@ def count_reads_streaming(
                     dev_words.append(keys)
                     dev_cnts.append(cnt)
                     dev_nks.append(n_kept)
+                    if len(dev_words) >= group:
+                        dev_words, dev_cnts, dev_nks = (
+                            _consolidate_device_runs(
+                                dev_words, dev_cnts, cfg, target
+                            )
+                        )
+                        if len(dev_words) >= group:
+                            # Consolidation didn't shrink (distinct-heavy
+                            # input, union ~ sum): HBM is genuinely full —
+                            # drain the already-summed runs to the host
+                            # and finish there.
+                            device_resident = False
+                            _drain_device_partials()
                     continue
                 # Oversized one-off batch breaks the uniform run length:
                 # revert to host accumulation for the whole stream.
@@ -382,79 +553,27 @@ def _merge_device_resident(dev_words, dev_cnts, cfg, run_len):
     """Merge device-retained per-batch (keys, counts) runs entirely on
     device; only the final filtered, compacted result crosses to the host.
 
-    Two jits so the batch partials free before the compaction sort's
-    workspace peaks: (1) concat (donated) + bitonic run merge + weighted
-    run-length sum + [L,U] filter; (2) sentinel-fold + payload sort +
-    n_kept (donated). The reference's count_sorted_kmerlist plays role (1)
+    Shared jits with the consolidation cycle (_merge_runs_sum /
+    _compact_chunk): (1) concat + bitonic run merge + weighted run-length
+    sum + [L,U] filter; (2) per-chunk sentinel-fold + payload sort +
+    n_kept. The reference's count_sorted_kmerlist plays role (1)
     (src/kmerops.cpp:1447-1476); role (2) has no reference analogue — its
     sorter output already lives in host memory.
-    """
-    import functools
 
-    from ..ops import count as count_ops
-    from ..ops import merge as merge_ops
-    from ..ops import sort as sort_ops
+    NOT donated: the caller's except handler drains these same partials
+    to the host when the merge OOMs at RUNTIME (the exact miss the budget
+    heuristic exists for) — donation would delete them and turn the
+    graceful fallback into a hard crash.
+    """
     from ..pipeline import pull_prefix
 
     next_pow2 = lambda x: 1 << max(int(x) - 1, 0).bit_length()
     runs = next_pow2(len(dev_words))
     pad_runs = runs - len(dev_words)
 
-    # NOT donated: the caller's except handler drains these same partials
-    # to the host when the merge OOMs at RUNTIME (the exact miss the budget
-    # heuristic exists for) — donation would delete them and turn the
-    # graceful fallback into a hard crash. The budget already charges for
-    # inputs + outputs (~2.1x retained, _device_resident_budget_ok), so
-    # donation bought no headroom the plan relies on.
-    @functools.partial(
-        jax.jit,
-        static_argnames=("words", "lower", "upper", "run_len", "pad_runs"),
-    )
-    def merge(parts_words, parts_cnts, *, words, lower, upper, run_len,
-              pad_runs):
-        full = jnp.uint32(0xFFFFFFFF)
-        wflat = []
-        for w in range(words):
-            cols = [p[w] for p in parts_words]
-            cols += [jnp.full((run_len,), full, jnp.uint32)] * pad_runs
-            wflat.append(jnp.concatenate(cols))
-        ccols = list(parts_cnts)
-        ccols += [jnp.zeros((run_len,), jnp.uint32)] * pad_runs
-        cflat = jnp.concatenate(ccols)
-        merged = merge_ops.merge_sorted_runs(wflat + [cflat], words, run_len)
-        words_s, pay = merged[:words], merged[words]
-        svalid = sort_ops.sentinel_valid(words_s)
-        head, total = count_ops.run_length_sum(
-            svalid, words_s, pay.astype(jnp.int32)
-        )
-        keep = count_ops.frequency_filter(head, total, lower, upper)
-        return tuple(words_s), total, keep
-
-    @functools.partial(
-        jax.jit,
-        static_argnames=("sort_backend", "chunk"),
-    )
-    def compact_chunk(words_s, total, keep, off, *, sort_backend, chunk):
-        """Fold + sort ONE static slice of the merged result. The merged
-        array is globally sorted, so compacting run_len-sized chunks
-        independently and concatenating preserves order — and every chunk
-        reuses the per-batch compact sort's compiled shape instead of
-        compiling a sort at runs x run_len (giant-program compiles through
-        remote backends measure in hours)."""
-        full = jnp.uint32(0xFFFFFFFF)
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, off, chunk)
-        keep_c = sl(keep)
-        folded = [jnp.where(keep_c, sl(w), full) for w in words_s]
-        _, cw, cp = sort_ops.sort_marked(
-            folded, [sl(total).astype(jnp.uint32)], backend=sort_backend
-        )
-        return tuple(cw), cp[0], jnp.sum(keep_c.astype(jnp.int32))
-
-    import logging
-
-    log = logging.getLogger("hysortk_tpu")
-    log.info("device-resident merge: %d runs x %d", runs, run_len)
-    words_s, total, keep = merge(
+    t0 = time.perf_counter()
+    _LOG.info("device-resident merge: %d runs x %d", runs, run_len)
+    words_s, total, keep = _merge_runs_sum(
         tuple(tuple(p) for p in dev_words),
         tuple(dev_cnts),
         words=cfg.words,
@@ -464,9 +583,9 @@ def _merge_device_resident(dev_words, dev_cnts, cfg, run_len):
         pad_runs=pad_runs,
     )
     out_k, out_c = [], []
+    nbytes = 0
     for off in range(0, runs * run_len, run_len):
-        log.info("device-resident compact: chunk at %d", off)
-        keys_s, cnt_s, n_kept = compact_chunk(
+        keys_s, cnt_s, n_kept = _compact_chunk(
             list(words_s), total, keep, jnp.int32(off),
             sort_backend=cfg.sort_backend, chunk=run_len,
         )
@@ -476,6 +595,11 @@ def _merge_device_resident(dev_words, dev_cnts, cfg, run_len):
         pulled = pull_prefix(list(keys_s) + [cnt_s], nk)
         out_k.append(np.stack(pulled[:-1], axis=-1))
         out_c.append(pulled[-1].astype(np.int32))
+        nbytes += sum(p.nbytes for p in pulled)
+    _LOG.info(
+        "device-resident merge + final pull: %.1f MB in %.2fs",
+        nbytes / 1e6, time.perf_counter() - t0,
+    )
     if not out_k:
         return (
             np.zeros((0, cfg.words), np.uint32), np.zeros(0, np.int32)

@@ -304,7 +304,7 @@ def test_streaming_device_resident_merge(monkeypatch):
     from hysortk_tpu.runtime import scheduler
 
     monkeypatch.setattr(
-        scheduler, "_device_resident_budget_ok", lambda *a, **k: True
+        scheduler, "_consolidation_group_size", lambda *a, **k: 8
     )
     rng = np.random.default_rng(81)
     reads = oracle.random_reads(rng, 36, 35, 120)
@@ -320,3 +320,62 @@ def test_streaming_device_resident_merge(monkeypatch):
     np.testing.assert_array_equal(
         np.bincount(counts, minlength=51)[:51], hist
     )
+
+
+def test_streaming_device_resident_consolidation(monkeypatch):
+    """group=2 forces a consolidation cycle (merge + duplicate-sum +
+    compact, all on device) after every second batch: many cycles, runs
+    with partial validity, and a final merge over consolidated + fresh
+    runs must still equal the oracle."""
+    import numpy as np
+
+    from hysortk_tpu import KmerConfig
+    from hysortk_tpu import testing as oracle
+    from hysortk_tpu.io import fasta as fasta_io
+    from hysortk_tpu.runtime import scheduler
+
+    monkeypatch.setattr(
+        scheduler, "_consolidation_group_size", lambda *a, **k: 2
+    )
+    rng = np.random.default_rng(82)
+    # Heavy duplication ACROSS batches: consolidation must sum partial
+    # counts without filtering (a key seen once per batch but 5x overall
+    # must survive lower=2).
+    reads = oracle.random_reads(rng, 20, 35, 120) * 5
+    rng.shuffle(reads)
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, pad_multiple=256,
+                     device_compact=True)
+    kl, hist = scheduler.count_reads_streaming(codes, lengths, cfg, 700)
+    want = {k.encode(): v
+            for k, v in oracle.oracle_filtered(reads, 31, 2, 50).items()}
+    assert kl.as_dict() == want
+    counts = np.asarray(sorted(want.values()))
+    np.testing.assert_array_equal(
+        np.bincount(counts, minlength=51)[:51], hist
+    )
+
+
+def test_streaming_consolidation_no_shrink_drains(monkeypatch):
+    """All-distinct input: consolidation cannot shrink below `group`, so
+    the scheduler must drain the summed runs to the host and still match
+    the unstreamed result."""
+    import numpy as np
+
+    from hysortk_tpu import KmerConfig, count_reads
+    from hysortk_tpu import testing as oracle
+    from hysortk_tpu.io import fasta as fasta_io
+    from hysortk_tpu.runtime import scheduler
+
+    monkeypatch.setattr(
+        scheduler, "_consolidation_group_size", lambda *a, **k: 2
+    )
+    rng = np.random.default_rng(83)
+    reads = oracle.random_reads(rng, 30, 40, 90)  # k-mers ~all distinct
+    codes, lengths = fasta_io.reads_to_codes(reads)
+    cfg = KmerConfig(k=31, m=17, lower=1, upper=50, pad_multiple=256,
+                     device_compact=True)
+    kl, hist = scheduler.count_reads_streaming(codes, lengths, cfg, 600)
+    want_kl, want_hist = count_reads(codes, lengths, cfg)
+    assert kl.as_dict() == want_kl.as_dict()
+    np.testing.assert_array_equal(hist, want_hist)

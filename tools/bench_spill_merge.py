@@ -84,7 +84,7 @@ def main():
 
     @jax.jit
     def exact_path(mw0, mw1, sw0, sw1):
-        merged = merge_ops.merge_sorted_runs([mw0, mw1], 2, m)
+        merged = merge_ops.merge_sorted_runs([mw0, mw1], 2, mw0.shape[0] // S)
         svalid = merged[0] != jnp.uint32(0xFFFFFFFF)
         head, cnt = count_ops.run_length_count(svalid, merged)
         # Spill: flat sort + run-length + fold into the merged counts.
@@ -98,7 +98,7 @@ def main():
 
     @jax.jit
     def legacy_path(lw0, lw1):
-        merged = merge_ops.merge_sorted_runs([lw0, lw1], 2, 2 * m)
+        merged = merge_ops.merge_sorted_runs([lw0, lw1], 2, lw0.shape[0] // S)
         svalid = merged[0] != jnp.uint32(0xFFFFFFFF)
         head, cnt = count_ops.run_length_count(svalid, merged)
         keep = count_ops.frequency_filter(head, cnt, 1, 0xFFFF)
