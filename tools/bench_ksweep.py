@@ -18,10 +18,13 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-PIPE_DEPTH = 8
-
-
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ks", type=int, nargs="+", default=[15, 31, 55])
+    a = ap.parse_args()
+
     import jax
 
     jax.config.update(
@@ -40,7 +43,7 @@ def main():
     spec.loader.exec_module(bench_mod)
 
     print("device:", jax.devices()[0], flush=True)
-    for k in (15, 31, 55):
+    for k in a.ks:
         cfg = KmerConfig(k=k, m=7 if k == 15 else 17, lower=2, upper=50,
                          fuse_keybuild=True, fuse_count=True,
                          sort_backend="auto")
@@ -58,15 +61,18 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(run()[1][:8])
         first = time.perf_counter() - t0
+        # In-flight outputs cost (W+2) x 268 MB each at 2^26; scale the
+        # window so W=4 (K=55) fits HBM (depth 8 at W=4 OOM'd on chip).
+        depth = 8 if cfg.words <= 2 else 3
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            outs = [run() for _ in range(PIPE_DEPTH)]
+            outs = [run() for _ in range(depth)]
             jax.block_until_ready(outs)
             jax.device_get(outs[-1][1][:8])
-            best = min(best, (time.perf_counter() - t0) / PIPE_DEPTH)
+            best = min(best, (time.perf_counter() - t0) / depth)
         print(json.dumps({
-            "k": k, "sort": cfg.sort_backend,
+            "k": k, "sort": cfg.sort_backend, "pipe_depth": depth,
             "kmers_per_sec": round(n_kmers / best),
             "first_call_s": round(first, 1),
         }), flush=True)
