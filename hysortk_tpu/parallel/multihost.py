@@ -87,27 +87,18 @@ def _global_histogram(counts: np.ndarray, upper: int) -> np.ndarray:
 
 
 def _gather_kmerlist(
-    keys, cnt, keep, cfg: KmerConfig, unmix: bool, spill=None
+    keys, cnt, keep, cfg: KmerConfig, unmix: bool
 ) -> KmerList:
-    """Assemble this host's KmerList from sharded device outputs.
-
-    spill: optional (xw, xc, xk) leftover planes from the exact-capacity
-    range exchange (ops/spill.py) — kept leftover entries merge into the
-    local list before unmixing."""
+    """Assemble this host's KmerList from sharded device outputs. The
+    exact-capacity range exchange folds spill entries into the merged
+    plane itself (one extra merge level,
+    parallel/pipeline._range_exchange_merge), so no leftover handling
+    exists here."""
     keep_local = _local_shards(keep)
     keys_local = np.stack(
         [_local_shards(w)[keep_local] for w in keys], axis=-1
     )
     counts_local = _local_shards(cnt)[keep_local]
-    if spill is not None:
-        from .pipeline import _fold_leftover_np
-
-        xw, xc, xk = spill
-        keys_local, counts_local = _fold_leftover_np(
-            keys_local, counts_local,
-            [_local_shards(w) for w in xw],
-            _local_shards(xc), _local_shards(xk),
-        )
     if unmix:
         from ..ops import mixkey
 
@@ -226,9 +217,7 @@ def _count_multihost_packed(
         capacity *= 2
     else:
         raise RuntimeError("exchange capacity overflow after retries")
-    kmerlist = _gather_kmerlist(
-        keys, cnt, keep, cfg, unmix=True, spill=(xw, xc, xk)
-    )
+    kmerlist = _gather_kmerlist(keys, cnt, keep, cfg, unmix=True)
     return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)
 
 
@@ -289,8 +278,7 @@ def _count_multihost_unpacked(
         )
     )
     kmerlist = _gather_kmerlist(
-        keys, cnt, keep, cfg, unmix=cfg2.routing == "range",
-        spill=(xw, xc, xk),
+        keys, cnt, keep, cfg, unmix=cfg2.routing == "range"
     )
     return kmerlist, _global_histogram(kmerlist.counts, cfg.upper)
 
@@ -363,8 +351,6 @@ def count_fasta_multihost_streaming(
 
     partial_k: list[list[np.ndarray]] = [[] for _ in range(n_local_dev)]
     partial_c: list[list[np.ndarray]] = [[] for _ in range(n_local_dev)]
-    xpart_k: list[list[np.ndarray]] = [[] for _ in range(n_local_dev)]
-    xpart_c: list[list[np.ndarray]] = [[] for _ in range(n_local_dev)]
     plan = None
     heavy_pending = (
         cfg_pre.routing == "range"
@@ -406,10 +392,6 @@ def count_fasta_multihost_streaming(
                 np.stack([w[sl][km] for w in words_l], axis=-1)
             )
             partial_c[d].append(cnt_l[sl][km].astype(np.uint32))
-        shard_pipeline._collect_leftover_partials(
-            [_local_shards(w) for w in xw], _local_shards(xc),
-            _local_shards(xk), n_local_dev, xpart_k, xpart_c,
-        )
 
     for i in range(nb):
         if i < len(spans):
@@ -469,14 +451,6 @@ def count_fasta_multihost_streaming(
 
     cfg_used = plan[0]
     w = cfg.words
-    # Leftover spill entries join as ONE extra sorted run per device; the
-    # run count is a collective shape, so every host pads to the global
-    # maximum partial count.
-    for d in range(n_local_dev):
-        xrun = shard_pipeline._leftover_run(xpart_k[d], xpart_c[d])
-        if xrun is not None:
-            partial_k[d].append(xrun[0])
-            partial_c[d].append(xrun[1])
     npart = max((len(pk) for pk in partial_k), default=1)
     run_len = max((a.shape[0] for pk in partial_k for a in pk), default=1)
     if jax.process_count() > 1:

@@ -101,68 +101,6 @@ def range_capacity(n_local: int, num_shards: int, cfg: KmerConfig) -> int:
     return m + sc
 
 
-def _fold_leftover_np(
-    compact: np.ndarray, counts: np.ndarray, xw, xc, xk
-) -> tuple[np.ndarray, np.ndarray]:
-    """Merge kept spill-leftover entries into a compacted (keys, counts)
-    host result, preserving the global mixed-space sort order.
-
-    Leftovers (ops/spill.py) are keys whose every copy crossed in spill
-    lanes; after the [L,U] filter they are almost always empty, so the
-    lexsort below is a cold path over a tiny union.
-    """
-    xk_np = np.asarray(xk)
-    if not xk_np.any():
-        return compact, counts
-    xkeys = np.stack([np.asarray(w)[xk_np] for w in xw], axis=-1)
-    xcnt = np.asarray(xc)[xk_np].astype(counts.dtype)
-    allk = np.concatenate([compact, xkeys])
-    allc = np.concatenate([counts, xcnt])
-    order = np.lexsort(
-        tuple(allk[:, i] for i in reversed(range(allk.shape[1])))
-    )
-    return allk[order], allc[order]
-
-
-def _collect_leftover_partials(
-    xw, xc, xk, num_shards: int, xpart_k, xpart_c
-) -> None:
-    """Append this batch's per-shard leftover spill entries (if any) to the
-    host-side accumulators. In unfiltered streaming mode every leftover
-    head survives, so these carry real (rare) counts that the final merge
-    must sum with the main partials."""
-    xk_np = np.asarray(xk)
-    if not xk_np.any():
-        return
-    xc_np = np.asarray(xc)
-    xw_np = [np.asarray(w) for w in xw]
-    xlen = xk_np.shape[0] // num_shards
-    for s in range(num_shards):
-        sl = slice(s * xlen, (s + 1) * xlen)
-        km = xk_np[sl]
-        if km.any():
-            xpart_k[s].append(
-                np.stack([w[sl][km] for w in xw_np], axis=-1)
-            )
-            xpart_c[s].append(xc_np[sl][km].astype(np.uint32))
-
-
-def _leftover_run(
-    xpart_k: list[np.ndarray], xpart_c: list[np.ndarray]
-) -> Optional[tuple[np.ndarray, np.ndarray]]:
-    """Collapse a shard's per-batch leftover partials into ONE ascending
-    sorted run (host lexsort over a tiny union) that enters the final
-    partial merge as a single extra run."""
-    if not xpart_k:
-        return None
-    allk = np.concatenate(xpart_k)
-    allc = np.concatenate(xpart_c)
-    order = np.lexsort(
-        tuple(allk[:, i] for i in reversed(range(allk.shape[1])))
-    )
-    return allk[order], allc[order]
-
-
 def _build_marked_mixed(codes, valid, cfg: KmerConfig):
     """codes/valid -> sentinel-marked, invertibly-mixed key words."""
     if cfg.fuse_keybuild:
@@ -179,53 +117,16 @@ def _bounds(cfg: KmerConfig) -> tuple[int, int]:
     return (1, 2**31 - 1) if cfg.unfiltered else (cfg.lower, cfg.upper)
 
 
-def _spill_fold_conditional(
-    merged_w, cnt, spill_w, spill_p, weighted: bool, lower: int, upper: int
-):
-    """Sort + count + fold the spill lane UNDER lax.cond: production
-    batches carry ~3% static validity headroom (>> the hash fluctuation),
-    so the spill plane is all-sentinel almost always and the whole branch
-    — a lax.sort plus a ~log2(n)-gather binary search — must cost nothing
-    then. Returns (cnt2, keep2, x_words, x_cnt, x_keep)."""
-    from ..ops import spill as spill_ops
-
-    full = jnp.uint32(0xFFFFFFFF)
-    has = jnp.any(spill_w[0] != full)
-    lo = max(int(lower), 1)
-    n_words = len(merged_w)
-
-    def no_spill(operands):
-        merged_w_, cnt_, spill_w_, _ = operands
-        keep = (cnt_ >= lo) & (cnt_ <= upper)
-        xw = tuple(jnp.full_like(w, full) for w in spill_w_)
-        xcnt = jnp.zeros(spill_w_[0].shape, jnp.int32)
-        xkeep = jnp.zeros(spill_w_[0].shape, jnp.bool_)
-        return cnt_, keep, xw, xcnt, xkeep
-
-    def with_spill(operands):
-        merged_w_, cnt_, spill_w_, spill_p_ = operands
-        out = jax.lax.sort(
-            tuple(spill_w_) + tuple(spill_p_), num_keys=n_words,
-            is_stable=False,
-        )
-        sw = list(out[:n_words])
-        spp = list(out[n_words:])
-        sv = sort_ops.sentinel_valid(sw)
-        if weighted:
-            head, xc = count_ops.run_length_sum(
-                sv, sw, spp[0].astype(jnp.int32)
-            )
-        else:
-            head, xc = count_ops.run_length_count(sv, sw)
-        cnt2, keep2, xcnt, xkeep = spill_ops.fold_spill_counts(
-            merged_w_, cnt_, sw, head, xc, lower, upper
-        )
-        return cnt2, keep2, tuple(sw), xcnt, xkeep
-
-    return jax.lax.cond(
-        has, with_spill, no_spill,
-        (tuple(merged_w), cnt, tuple(spill_w), tuple(spill_p)),
+def _empty_leftover_planes(n_words: int):
+    """Uniform (1,)-dummy leftover planes. The spill lane now folds into
+    the merged plane itself (one extra merge level in
+    _range_exchange_merge), so no path produces real leftovers; the slots
+    stay in the 8-tuple shard-body contract so every routing returns the
+    same pytree structure."""
+    xw = tuple(
+        jnp.full((1,), jnp.uint32(0xFFFFFFFF)) for _ in range(n_words)
     )
+    return xw, jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.bool_)
 
 
 def _count_merged(merged_words, cfg: KmerConfig):
@@ -262,10 +163,20 @@ def _range_exchange_merge(
     Exact-capacity geometry (ops/spill.py): capacity = m + sc with m the
     largest pow2. Each cell carries the segment's first `capacity`
     contiguous elements; the first m slots per received run feed the pow2
-    merge network, the sc-slot spill tails are lax.sort'ed flat (tiny) and
-    returned for the caller to fold (spill.fold_spill_counts). sc == 0
-    (pow2 capacity — EXT mode, legacy callers) keeps the single-plane
-    behavior and returns empty spill planes.
+    merge network; the sc-slot spill tails are lax.sort'ed flat (tiny),
+    sentinel-padded to the plane length, and folded in by ONE extra
+    top-level bitonic merge — the merged plane comes back 2x long and the
+    spill keys are simply IN it, counted by the ordinary run-length pass.
+    sc == 0 (pow2 capacity — EXT mode, legacy callers) keeps the
+    single-plane behavior.
+
+    The round-4 v1 protocol instead kept the plane 1x and folded spill
+    counts by a lexicographic binary search + scatter-add
+    (spill.fold_spill_counts): chip-measured 4x SLOWER than even the
+    legacy 2x-plane merge (1329.6 vs 331.9 ms at 2^26/S=8,
+    tools/bench_spill_merge.py) — ~26 rounds of random gathers at
+    82M elem/s. One merge level at 2x the plane costs ~10 paid stages;
+    gather-based search is never the answer on this hardware.
     """
     from ..ops import spill as spill_ops
 
@@ -287,18 +198,12 @@ def _range_exchange_merge(
     )
     recv_w = exchange.mask_invalid_slots(recv_w, recv_valid)
 
+    spill_w_flat = spill_p_flat = None
     if sc:
-        # Raw masked spill planes; the caller sorts/folds them under a
-        # lax.cond so the common all-sentinel case (production batches
-        # have ~3% static headroom >> the hash fluctuation) pays nothing.
-        spill_words = [w[:, m:].reshape(-1) for w in recv_w]
-        spill_pays = [p[:, m:].reshape(-1) for p in recv_p]
+        spill_w_flat = [w[:, m:].reshape(-1) for w in recv_w]
+        spill_p_flat = [p[:, m:].reshape(-1) for p in recv_p]
         recv_w = [w[:, :m] for w in recv_w]
         recv_p = [p[:, :m] for p in recv_p]
-    else:
-        spill_words = [jnp.full((1,), jnp.uint32(0xFFFFFFFF))
-                       for _ in recv_w]
-        spill_pays = [jnp.zeros((1,), jnp.uint32) for _ in recv_p]
 
     # Pad the run count to a power of two with all-sentinel runs (the
     # bitonic merge needs pow2 x pow2 geometry; m is pow2 by construction).
@@ -310,13 +215,43 @@ def _range_exchange_merge(
         zeros = jnp.zeros((pad_rows, m), jnp.uint32)
         recv_p = [jnp.concatenate([p, zeros]) for p in recv_p]
 
+    n_words = len(recv_w)
     flat = [w.reshape(-1) for w in recv_w] + [p.reshape(-1) for p in recv_p]
-    merged = merge_ops.merge_sorted_runs(flat, len(recv_w), m)
+    merged = merge_ops.merge_sorted_runs(flat, n_words, m)
+
+    if sc:
+        # Spill fold = one more merge level: sort the tiny spill plane
+        # flat, sentinel-pad it to the plane length, and merge it in as a
+        # second run. The plane doubles; spill keys (including keys whose
+        # EVERY copy spilled) now sit in it with ordinary multiplicity, so
+        # no leftover protocol exists.
+        plane = s2 * m
+        out = jax.lax.sort(
+            tuple(spill_w_flat) + tuple(spill_p_flat),
+            num_keys=n_words, is_stable=False,
+        )
+        full = jnp.uint32(0xFFFFFFFF)
+        pad = plane - out[0].shape[0]
+        sp_w = [
+            jnp.concatenate([w, jnp.full((pad,), full, jnp.uint32)])
+            for w in out[:n_words]
+        ]
+        sp_p = [
+            jnp.concatenate([p, jnp.zeros((pad,), jnp.uint32)])
+            for p in out[n_words:]
+        ]
+        flat2 = [
+            jnp.concatenate([mw, sw])
+            for mw, sw in zip(merged[:n_words], sp_w)
+        ] + [
+            jnp.concatenate([mp, sp])
+            for mp, sp in zip(merged[n_words:], sp_p)
+        ]
+        merged = merge_ops.merge_sorted_runs(flat2, n_words, plane)
+
     return (
-        merged[: len(recv_w)],
-        merged[len(recv_w):],
-        spill_words,
-        spill_pays,
+        merged[:n_words],
+        merged[n_words:],
         dest_totals,
         overflow,
     )
@@ -326,25 +261,16 @@ def _shard_body_range(
     codes, valid, *, cfg: KmerConfig, num_shards: int, capacity: int
 ):
     """Default per-shard program: one sort, contiguous pack, merge."""
-    from ..ops import spill as spill_ops
-
     mixed = _build_marked_mixed(codes.astype(jnp.int8), valid, cfg)
     _, mixed_s, _ = sort_ops.sort_marked(mixed, backend=cfg.sort_backend)
-    merged_w, _, spill_w, spill_p, totals, overflow = _range_exchange_merge(
+    merged_w, _, totals, overflow = _range_exchange_merge(
         mixed_s, [], cfg, num_shards, capacity
     )
     cnt, keep = _count_merged(merged_w, cfg)
-    _, sc = spill_ops.split_capacity(capacity)
-    if sc:
-        cnt, keep, spill_w, xcnt, xkeep = _spill_fold_conditional(
-            merged_w, cnt, spill_w, spill_p, False, *_bounds(cfg)
-        )
-    else:
-        xcnt = jnp.zeros(spill_w[0].shape, jnp.int32)
-        xkeep = jnp.zeros(spill_w[0].shape, jnp.bool_)
+    xw, xcnt, xkeep = _empty_leftover_planes(len(merged_w))
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
     return (
-        tuple(merged_w), cnt, keep, tuple(spill_w), xcnt, xkeep, totals,
+        tuple(merged_w), cnt, keep, xw, xcnt, xkeep, totals,
         overflow,
     )
 
@@ -361,8 +287,6 @@ def _shard_body_range_combiner(
     a receive-side merge total — the reference's heavy path instead re-sorts
     the gathered KmerList concatenation (src/kmerops.cpp:546-581).
     """
-    from ..ops import spill as spill_ops
-
     mixed = _build_marked_mixed(codes.astype(jnp.int8), valid, cfg)
     _, mixed_s, _ = sort_ops.sort_marked(mixed, backend=cfg.sort_backend)
     svalid = sort_ops.sentinel_valid(mixed_s)
@@ -373,7 +297,7 @@ def _shard_body_range_combiner(
         entry_words, [local_cnt.astype(jnp.uint32)],
         backend=cfg.sort_backend,
     )
-    merged_w, merged_p, spill_w, spill_p, totals, overflow = (
+    merged_w, merged_p, totals, overflow = (
         _range_exchange_merge(entry_s, pay_s, cfg, num_shards, capacity)
     )
     svalid2 = sort_ops.sentinel_valid(merged_w)
@@ -381,17 +305,10 @@ def _shard_body_range_combiner(
         svalid2, merged_w, merged_p[0].astype(jnp.int32)
     )
     keep = count_ops.frequency_filter(head2, cnt, *_bounds(cfg))
-    _, sc = spill_ops.split_capacity(capacity)
-    if sc:
-        cnt, keep, spill_w, xcnt, xkeep = _spill_fold_conditional(
-            merged_w, cnt, spill_w, spill_p, True, *_bounds(cfg)
-        )
-    else:
-        xcnt = jnp.zeros(spill_w[0].shape, jnp.int32)
-        xkeep = jnp.zeros(spill_w[0].shape, jnp.bool_)
+    xw, xcnt, xkeep = _empty_leftover_planes(len(merged_w))
     overflow = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
     return (
-        tuple(merged_w), cnt, keep, tuple(spill_w), xcnt, xkeep, totals,
+        tuple(merged_w), cnt, keep, xw, xcnt, xkeep, totals,
         overflow,
     )
 
@@ -483,13 +400,7 @@ def _shard_body_bucketed(
     # Words returned separately (stacking on device wastes an HBM pass).
     # The histogram is computed host-side from the compacted counts (the
     # reference's count timer likewise excludes histogram work).
-    # Bucketed routing has no spill lane; emit the uniform empty planes so
-    # every routing shares one output contract.
-    xw = tuple(
-        jnp.full((1,), jnp.uint32(0xFFFFFFFF)) for _ in range(len(words_s))
-    )
-    xcnt = jnp.zeros((1,), jnp.int32)
-    xkeep = jnp.zeros((1,), jnp.bool_)
+    xw, xcnt, xkeep = _empty_leftover_planes(len(words_s))
     return tuple(words_s), cnt, keep, xw, xcnt, xkeep, totals, overflow
 
 
@@ -803,7 +714,6 @@ def count_flat_sharded(
     keep_np = np.asarray(keep)
     compact = compact_keys(keys, keep_np)
     counts_np = np.asarray(cnt)[keep_np]
-    compact, counts_np = _fold_leftover_np(compact, counts_np, xw, xc, xk)
     if cfg2.routing == "range":
         compact = mixkey.unmix_keys_np(compact)
     kmerlist = KmerList(
@@ -983,8 +893,6 @@ def count_reads_sharded_streaming(
 
     partial_k: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
     partial_c: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
-    xpart_k: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
-    xpart_c: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
 
     plan = None
     target_block = None
@@ -1037,7 +945,6 @@ def count_reads_sharded_streaming(
                 np.stack([w[sl][km] for w in words_np], axis=-1)
             )
             partial_c[s].append(cnt_np[sl][km].astype(np.uint32))
-        _collect_leftover_partials(xw, xc, xk, num_shards, xpart_k, xpart_c)
 
     for b_codes, b_lengths in iter_read_batches(codes, lengths, batch_bases):
         flat_c, flat_v = distribute_reads(b_codes, b_lengths, cfg, num_shards)
@@ -1101,13 +1008,6 @@ def count_reads_sharded_streaming(
             ),
             np.zeros(cfg.upper + 1, np.int32),
         )
-
-    # Leftover spill entries join as ONE extra sorted run per shard.
-    for s in range(num_shards):
-        xrun = _leftover_run(xpart_k[s], xpart_c[s])
-        if xrun is not None:
-            partial_k[s].append(xrun[0])
-            partial_c[s].append(xrun[1])
 
     # Lay the per-(shard, batch) partials out as sentinel-padded pow2 runs:
     # the merge pass then only pays log2(runs) bitonic merge levels, not a
@@ -1174,7 +1074,7 @@ def _shard_body_ext_range(
     _, mixed_s, payl_s = sort_ops.sort_marked(
         mixed, payloads, backend=cfg.sort_backend
     )
-    merged_w, merged_p, _, _, totals, overflow = _range_exchange_merge(
+    merged_w, merged_p, totals, overflow = _range_exchange_merge(
         mixed_s, payl_s, cfg, num_shards, capacity
     )
     cnt, keep = _count_merged(merged_w, cfg)

@@ -11,11 +11,9 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 from hysortk_tpu import KmerConfig
 from hysortk_tpu.io import fasta as fasta_io
-from hysortk_tpu.ops import count as count_ops
 from hysortk_tpu.ops import spill
 from hysortk_tpu import testing as oracle
 
@@ -35,56 +33,6 @@ def test_split_capacity():
     assert (m, sc) == (256, 128)
 
 
-def test_lex_searchsorted_fuzz():
-    rng = np.random.default_rng(3)
-    for _ in range(10):
-        n = int(rng.integers(1, 400))
-        nq = int(rng.integers(1, 80))
-        t0 = rng.integers(0, 40, n).astype(np.uint32)
-        t1 = rng.integers(0, 40, n).astype(np.uint32)
-        order = np.lexsort((t1, t0))
-        t0, t1 = t0[order], t1[order]
-        q0 = rng.integers(0, 50, nq).astype(np.uint32)
-        q1 = rng.integers(0, 50, nq).astype(np.uint32)
-        got = np.asarray(
-            spill.lex_searchsorted(
-                [jnp.array(t0), jnp.array(t1)], [jnp.array(q0), jnp.array(q1)]
-            )
-        )
-        pk = lambda a, b: (a.astype(np.uint64) << 32) | b.astype(np.uint64)
-        want = np.searchsorted(pk(t0, t1), pk(q0, q1), side="left")
-        assert np.array_equal(got, want)
-
-
-def test_fold_spill_counts_oracle():
-    from collections import Counter
-
-    rng = np.random.default_rng(9)
-    for trial in range(10):
-        nm, nx = 64, 16
-        mk = np.sort(rng.integers(0, 30, nm - 10).astype(np.uint32))
-        mk = np.concatenate([mk, np.full(10, SENT)])
-        xk = np.sort(rng.integers(0, 40, nx - 6).astype(np.uint32))
-        xk = np.concatenate([xk, np.full(6, SENT)])
-        mwords, xwords = [jnp.array(mk)], [jnp.array(xk)]
-        mh, mc = count_ops.run_length_count(jnp.array(mk != SENT), mwords)
-        xh, xc = count_ops.run_length_count(jnp.array(xk != SENT), xwords)
-        L, U = 2, 5
-        cnt2, keep2, lcnt, lkeep = map(
-            np.asarray,
-            spill.fold_spill_counts(mwords, mc, xwords, xh, xc, L, U),
-        )
-        tot = Counter(mk[mk != SENT].tolist()) + Counter(
-            xk[xk != SENT].tolist()
-        )
-        got = {int(mk[i]): int(cnt2[i]) for i in np.flatnonzero(keep2)}
-        for i in np.flatnonzero(lkeep):
-            assert int(xk[i]) not in got  # leftovers are main-absent
-            got[int(xk[i])] = int(lcnt[i])
-        want = {k: c for k, c in tot.items() if L <= c <= U}
-        assert got == want, trial
-
-
 def _force_capacity(monkeypatch, capacity):
     from hysortk_tpu.parallel import pipeline as sp
 
@@ -96,9 +44,9 @@ def _force_capacity(monkeypatch, capacity):
 def test_sharded_spill_forced(monkeypatch, combiner, lower):
     """Public sharded path with segments overhanging the main lane: the
     planned capacity is shrunk so ~every (src,dst) segment spills, and the
-    result must still match the oracle exactly (leftover keys included —
-    at lower=1 every singleton that crossed only in a spill lane must
-    surface)."""
+    result must still match the oracle exactly (at lower=1 every
+    singleton that crossed only in a spill lane must surface — spill keys
+    fold into the plane via the extra merge level)."""
     from hysortk_tpu.parallel.mesh import make_mesh
     from hysortk_tpu.parallel.pipeline import count_flat_sharded, \
         distribute_reads
@@ -133,8 +81,9 @@ def test_sharded_spill_forced(monkeypatch, combiner, lower):
 
 @pytest.mark.parametrize("lower", [1, 2])
 def test_streaming_spill_forced(monkeypatch, lower):
-    """Streaming sharded path under forced spill: per-batch leftovers must
-    flow through the extra sorted run into the final partial merge."""
+    """Streaming sharded path under forced spill: per-batch spill keys
+    must fold into each batch's merged plane and survive the final
+    partial merge."""
     from hysortk_tpu.parallel.mesh import make_mesh
     from hysortk_tpu.parallel.pipeline import count_reads_sharded_streaming
 

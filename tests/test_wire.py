@@ -98,7 +98,6 @@ def test_packed_sharded_equals_unpacked():
     keep_np = np.asarray(keep)
     got_keys = compact_keys(keys, keep_np)
     got_cnt = np.asarray(cnt)[keep_np]
-    got_keys, got_cnt = sp._fold_leftover_np(got_keys, got_cnt, xw, xc, xk)
     got_keys = mixkey.unmix_keys_np(got_keys)
     got = dict(
         zip(

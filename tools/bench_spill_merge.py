@@ -9,9 +9,14 @@ real chip):
             2*m where each run is half real keys, half 0xFFFFFFFF
             sentinel pad, then run-length count over the 2x plane.
   exact   — capacity = m + m/64 (ops/spill.py): merge S runs of m (all
-            real), run-length count over the 1x plane, then lax.sort the
-            (S, m/64) spill plane flat and fold its counts in
-            (spill.fold_spill_counts).
+            real), lax.sort the (S, m/64) spill plane flat, sentinel-pad
+            it to the plane length and fold it in with ONE extra
+            top-level merge level, then run-length count over the 2x
+            plane (second half ~all sentinels).
+  fold_v1 — the abandoned round-4 v1 protocol (lexicographic binary
+            search + scatter-add): measured 1329.6 ms vs legacy 331.9 on
+            chip — the reason the merge-level fold exists. Kept here as
+            a comment for the ledger; the code was deleted.
 
 Run on the TPU host (single client, generous budget):
     nohup python tools/bench_spill_merge.py > /tmp/bench_spill_merge.log 2>&1 &
@@ -46,7 +51,6 @@ def main():
     )
     from hysortk_tpu.ops import count as count_ops
     from hysortk_tpu.ops import merge as merge_ops
-    from hysortk_tpu.ops import spill as spill_ops
 
     print("device:", jax.devices()[0], flush=True)
     m = 1 << LOG_M
@@ -74,8 +78,8 @@ def main():
         [np.concatenate([r[1], np.full(m, FULL)]) for r in runs]
     )
 
-    # Spill planes: (S, sc) sorted tails (tiny, mostly real here — worst
-    # case for the fold; production spill lanes are mostly sentinel).
+    # Spill planes: (S, sc) sorted tails (fully occupied — worst case;
+    # production spill lanes are mostly sentinel).
     sp = [sorted_run(sc) for _ in range(S)]
     sp_w0 = np.concatenate([r[0] for r in sp])
     sp_w1 = np.concatenate([r[1] for r in sp])
@@ -84,21 +88,30 @@ def main():
 
     @jax.jit
     def exact_path(mw0, mw1, sw0, sw1):
-        merged = merge_ops.merge_sorted_runs([mw0, mw1], 2, mw0.shape[0] // S)
-        svalid = merged[0] != jnp.uint32(0xFFFFFFFF)
-        head, cnt = count_ops.run_length_count(svalid, merged)
-        # Spill: flat sort + run-length + fold into the merged counts.
-        ssorted = jax.lax.sort([sw0, sw1], num_keys=2)
-        sp_valid = ssorted[0] != jnp.uint32(0xFFFFFFFF)
-        sp_head, sp_cnt = count_ops.run_length_count(sp_valid, ssorted)
-        cnt2, keep, xcnt, xk = spill_ops.fold_spill_counts(
-            merged, cnt, ssorted, sp_head, sp_cnt, 1, 0xFFFF
-        )
-        return merged[0], cnt2, keep, xcnt
+        T = mw0.shape[0]
+        merged = merge_ops.merge_sorted_runs([mw0, mw1], 2, T // S)
+        # Spill fold = one extra top-level merge level (the production
+        # formulation, parallel/pipeline._range_exchange_merge).
+        ss = jax.lax.sort([sw0, sw1], num_keys=2)
+        pad = T - sw0.shape[0]
+        full = jnp.uint32(0xFFFFFFFF)
+        flat = [
+            jnp.concatenate(
+                [mw, sw, jnp.full((pad,), full, jnp.uint32)]
+            )
+            for mw, sw in zip(merged, ss)
+        ]
+        merged2 = merge_ops.merge_sorted_runs(flat, 2, T)
+        svalid = merged2[0] != full
+        head, cnt = count_ops.run_length_count(svalid, merged2)
+        keep = count_ops.frequency_filter(head, cnt, 1, 0xFFFF)
+        return merged2[0], cnt, keep
 
     @jax.jit
     def legacy_path(lw0, lw1):
-        merged = merge_ops.merge_sorted_runs([lw0, lw1], 2, lw0.shape[0] // S)
+        merged = merge_ops.merge_sorted_runs(
+            [lw0, lw1], 2, lw0.shape[0] // S
+        )
         svalid = merged[0] != jnp.uint32(0xFFFFFFFF)
         head, cnt = count_ops.run_length_count(svalid, merged)
         keep = count_ops.frequency_filter(head, cnt, 1, 0xFFFF)
@@ -142,6 +155,7 @@ def main():
         "exact_ms": round(t_exact * 1e3, 1),
         "legacy_ms": round(t_leg * 1e3, 1),
         "legacy_over_exact": round(t_leg / t_exact, 3),
+        "fold_v1_ms_for_the_record": 1329.6,
     }
     with open(os.path.join(REPO, "tools", "bench_spill_merge.json"), "w") as f:
         json.dump(out, f, indent=1)
