@@ -221,15 +221,19 @@ def _consolidation_group_size(target: int, words: int, device=None) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("words", "lower", "upper", "run_len", "pad_runs"),
+    static_argnames=("words", "run_len", "pad_runs"),
 )
-def _merge_runs_sum(parts_words, parts_cnts, *, words, lower, upper,
+def _merge_runs_sum(parts_words, parts_cnts, lower, upper, *, words,
                     run_len, pad_runs):
     """Concat sorted runs + bitonic run merge + weighted run-length sum +
-    [lower, upper] filter. Consolidation passes (1, 2**31-1) — partial
-    counts must survive unfiltered until the final merge; the final merge
-    passes the real bounds. NOT donated: the caller's fallback drains the
-    same partials to the host when this OOMs at runtime (see ADVICE r3)."""
+    [lower, upper] filter. The bounds are DYNAMIC operands, not static:
+    consolidation passes (1, 2**31-1) — partial counts must survive
+    unfiltered until the final merge — and the final merge passes the
+    real bounds, and making that a static axis would compile (and, on the
+    axon tunnel, LOAD: measured ~200 s per giant executable per process)
+    two copies of this program for zero steady-state win. NOT donated:
+    the caller's fallback drains the same partials to the host when this
+    OOMs at runtime (see ADVICE r3)."""
     full = jnp.uint32(0xFFFFFFFF)
     wflat = []
     for w in range(words):
@@ -312,8 +316,8 @@ def _consolidate_device_runs(dev_words, dev_cnts, cfg, run_len):
     runs = next_pow2(g)
     words_s, total, keep = _merge_runs_sum(
         tuple(tuple(p) for p in dev_words), tuple(dev_cnts),
-        words=cfg.words, lower=1, upper=2**31 - 1,
-        run_len=run_len, pad_runs=runs - g,
+        jnp.int32(1), jnp.int32(2**31 - 1),
+        words=cfg.words, run_len=run_len, pad_runs=runs - g,
     )
     # Arena one run longer than the merged span: the last chunk's sentinel
     # tail must land inside the buffer without offset clamping.
@@ -573,12 +577,15 @@ def _merge_device_resident(dev_words, dev_cnts, cfg, run_len):
 
     t0 = time.perf_counter()
     _LOG.info("device-resident merge: %d runs x %d", runs, run_len)
+    lower, upper = (
+        (1, 2**31 - 1) if cfg.unfiltered else (cfg.lower, cfg.upper)
+    )
     words_s, total, keep = _merge_runs_sum(
         tuple(tuple(p) for p in dev_words),
         tuple(dev_cnts),
+        jnp.int32(lower),
+        jnp.int32(upper),
         words=cfg.words,
-        lower=cfg.lower,
-        upper=cfg.upper,
         run_len=run_len,
         pad_runs=pad_runs,
     )

@@ -99,7 +99,7 @@ def run_ref() -> None:
     print(json.dumps(part))
 
 
-def run_tpu(stream: int) -> None:
+def run_tpu(stream: int, repeat: int = 1) -> None:
     outdir = "/tmp/e2e_tpu_out"
     os.makedirs(outdir, exist_ok=True)
     env = dict(os.environ)
@@ -108,6 +108,8 @@ def run_tpu(stream: int) -> None:
             "-k", str(K), "-m", str(M), "-l", str(L), "-u", str(U),
             "--fuse-keybuild", "--fuse-count", "--sort", "auto",
             "--device-compact", "--single-device"]
+    if repeat > 1:
+        args += ["--repeat", str(repeat)]
     if stream:
         args += ["--stream-batch-bases", str(stream)]
     t0 = time.perf_counter()
@@ -180,13 +182,14 @@ def main() -> None:
     # 67101696 — above the boundary, so lax.sort hit the 26% pow2 cliff
     # AND the member sort padded every batch to 2^27 (2x the work).
     ap.add_argument("--stream", type=int, default=(1 << 26) - 16)
+    ap.add_argument("--repeat", type=int, default=1)
     a = ap.parse_args()
     if a.phase == "gen":
         gen(a.bases)
     elif a.phase == "ref":
         run_ref()
     elif a.phase == "tpu":
-        run_tpu(a.stream)
+        run_tpu(a.stream, a.repeat)
     else:
         report()
 
