@@ -10,18 +10,20 @@ merge, count, and all_to_all process 2x n_local elements.
 Instead each exchange cell carries `capacity = m + sc` contiguous elements
 of the segment, where m = next_pow2(mean) holds the bulk and a small
 spill lane sc >> fluctuation absorbs the hash-uniform overhang
-(sigma ~ sqrt(n/S) keys). The wire and the main merge stay 1x; the spill
-tails are lax.sort'ed flat (tiny), sentinel-padded, and folded into the
-plane by ONE extra top-level bitonic merge level
+(sigma ~ sqrt(n/S) keys). The exactness lives on the WIRE — the
+all_to_all ships ~2x fewer bytes; the receive side sentinel-pads each
+run back to 2m and feeds the ordinary pow2 merge
 (parallel/pipeline._range_exchange_merge).
 
-History: the first round-4 protocol folded spill counts into the 1x plane
-by a vectorized lexicographic binary search + scatter-add here, with a
-"leftover" side channel for keys whose every copy spilled. Chip-measured
-(tools/bench_spill_merge.py, 2^26/S=8): 1329.6 ms vs 331.9 for even the
-legacy 2x merge — ~27 rounds of random gathers at 82M elem/s swamp
-everything. The merge-level fold replaced it: gather-based search is
-never the answer on this hardware, comparison networks are.
+History (chip, 2^26/S=8, tools/bench_spill_merge.py): two 1x-plane
+receive formulations were built and measured before settling on the
+padded single merge (331.9 ms). Folding the spill tails into a 1x main
+plane by lexicographic binary search + scatter-add: 1329.6 ms (~27
+rounds of random gathers at 82M elem/s — gather-based search is never
+the answer on this hardware). Folding them by one extra top-level merge
+level: 566.0 ms (two merge calls materialize the plane twice). The
+sentinel-padded runs through ONE merge win although the network is
+data-movement bound — don't re-split the plane without new data.
 
 The reference avoids the problem with exact receive preallocation
 (src/kmerops.cpp:439-471) — possible there because MPI ranks exchange

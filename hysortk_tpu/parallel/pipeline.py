@@ -162,21 +162,12 @@ def _range_exchange_merge(
 
     Exact-capacity geometry (ops/spill.py): capacity = m + sc with m the
     largest pow2. Each cell carries the segment's first `capacity`
-    contiguous elements; the first m slots per received run feed the pow2
-    merge network; the sc-slot spill tails are lax.sort'ed flat (tiny),
-    sentinel-padded to the plane length, and folded in by ONE extra
-    top-level bitonic merge — the merged plane comes back 2x long and the
-    spill keys are simply IN it, counted by the ordinary run-length pass.
-    sc == 0 (pow2 capacity — EXT mode, legacy callers) keeps the
-    single-plane behavior.
-
-    The round-4 v1 protocol instead kept the plane 1x and folded spill
-    counts by a lexicographic binary search + scatter-add
-    (spill.fold_spill_counts): chip-measured 4x SLOWER than even the
-    legacy 2x-plane merge (1329.6 vs 331.9 ms at 2^26/S=8,
-    tools/bench_spill_merge.py) — ~26 rounds of random gathers at
-    82M elem/s. One merge level at 2x the plane costs ~10 paid stages;
-    gather-based search is never the answer on this hardware.
+    contiguous elements — the all_to_all ships ~2x fewer bytes than the
+    old next_pow2(1.6 x mean) = 2m rule. The receive side sentinel-pads
+    each run back to 2m and feeds the ordinary pow2 merge network: the
+    chip-measured optimum (see the inline note below; two 1x-plane
+    formulations both lost). sc == 0 (pow2 capacity — EXT mode, legacy
+    callers) keeps the 1x single-plane behavior.
     """
     from ..ops import spill as spill_ops
 
@@ -198,56 +189,38 @@ def _range_exchange_merge(
     )
     recv_w = exchange.mask_invalid_slots(recv_w, recv_valid)
 
-    spill_w_flat = spill_p_flat = None
+    run = m
     if sc:
-        spill_w_flat = [w[:, m:].reshape(-1) for w in recv_w]
-        spill_p_flat = [p[:, m:].reshape(-1) for p in recv_p]
-        recv_w = [w[:, :m] for w in recv_w]
-        recv_p = [p[:, :m] for p in recv_p]
+        # Exact capacity lives on the WIRE (m + sc slots per cell, the
+        # ~2x all_to_all byte saving); the receive side pads each
+        # received run to the next pow2 (2m) with sentinels and feeds ONE
+        # merge. Chip-measured alternatives at 2^26/S=8
+        # (tools/bench_spill_merge.py): this padded single merge 331.9 ms;
+        # splitting a 1x main plane + folding the spill tails back in by
+        # an extra top-level merge 566 ms; folding them by lexicographic
+        # binary search + scatter-add 1329.6 ms. The bitonic network is
+        # data-movement bound but sentinel-padded runs still beat every
+        # plane-splitting formulation — don't re-split without new data.
+        run = 2 * m
+        pad = run - capacity
+        full = jnp.full((num_shards, pad), jnp.uint32(0xFFFFFFFF))
+        recv_w = [jnp.concatenate([w, full], axis=1) for w in recv_w]
+        zeros = jnp.zeros((num_shards, pad), jnp.uint32)
+        recv_p = [jnp.concatenate([p, zeros], axis=1) for p in recv_p]
 
     # Pad the run count to a power of two with all-sentinel runs (the
     # bitonic merge needs pow2 x pow2 geometry; m is pow2 by construction).
     s2 = _next_pow2(num_shards)
     if s2 != num_shards:
         pad_rows = s2 - num_shards
-        full = jnp.full((pad_rows, m), jnp.uint32(0xFFFFFFFF), jnp.uint32)
+        full = jnp.full((pad_rows, run), jnp.uint32(0xFFFFFFFF), jnp.uint32)
         recv_w = [jnp.concatenate([w, full]) for w in recv_w]
-        zeros = jnp.zeros((pad_rows, m), jnp.uint32)
+        zeros = jnp.zeros((pad_rows, run), jnp.uint32)
         recv_p = [jnp.concatenate([p, zeros]) for p in recv_p]
 
     n_words = len(recv_w)
     flat = [w.reshape(-1) for w in recv_w] + [p.reshape(-1) for p in recv_p]
-    merged = merge_ops.merge_sorted_runs(flat, n_words, m)
-
-    if sc:
-        # Spill fold = one more merge level: sort the tiny spill plane
-        # flat, sentinel-pad it to the plane length, and merge it in as a
-        # second run. The plane doubles; spill keys (including keys whose
-        # EVERY copy spilled) now sit in it with ordinary multiplicity, so
-        # no leftover protocol exists.
-        plane = s2 * m
-        out = jax.lax.sort(
-            tuple(spill_w_flat) + tuple(spill_p_flat),
-            num_keys=n_words, is_stable=False,
-        )
-        full = jnp.uint32(0xFFFFFFFF)
-        pad = plane - out[0].shape[0]
-        sp_w = [
-            jnp.concatenate([w, jnp.full((pad,), full, jnp.uint32)])
-            for w in out[:n_words]
-        ]
-        sp_p = [
-            jnp.concatenate([p, jnp.zeros((pad,), jnp.uint32)])
-            for p in out[n_words:]
-        ]
-        flat2 = [
-            jnp.concatenate([mw, sw])
-            for mw, sw in zip(merged[:n_words], sp_w)
-        ] + [
-            jnp.concatenate([mp, sp])
-            for mp, sp in zip(merged[n_words:], sp_p)
-        ]
-        merged = merge_ops.merge_sorted_runs(flat2, n_words, plane)
+    merged = merge_ops.merge_sorted_runs(flat, n_words, run)
 
     return (
         merged[:n_words],

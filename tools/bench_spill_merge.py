@@ -8,15 +8,14 @@ real chip):
   legacy  — capacity = next_pow2(1.6 * mean) = 2 * mean: merge S runs of
             2*m where each run is half real keys, half 0xFFFFFFFF
             sentinel pad, then run-length count over the 2x plane.
-  exact   — capacity = m + m/64 (ops/spill.py): merge S runs of m (all
-            real), lax.sort the (S, m/64) spill plane flat, sentinel-pad
-            it to the plane length and fold it in with ONE extra
-            top-level merge level, then run-length count over the 2x
-            plane (second half ~all sentinels).
-  fold_v1 — the abandoned round-4 v1 protocol (lexicographic binary
-            search + scatter-add): measured 1329.6 ms vs legacy 331.9 on
-            chip — the reason the merge-level fold exists. Kept here as
-            a comment for the ledger; the code was deleted.
+  exact   — capacity = m + m/64 on the WIRE (ops/spill.py); the receive
+            side sentinel-pads each (m + sc)-slot run to 2m and feeds the
+            same single merge as legacy. Device cost == legacy; the win
+            is the ~2x all_to_all byte saving.
+  History (both deleted): a 1x main plane + spill folded in by an extra
+  top-level merge measured 566.0 ms; folding by lexicographic binary
+  search + scatter-add measured 1329.6 ms. The padded single merge
+  (331.9 ms) beats every plane-splitting formulation.
 
 Run on the TPU host (single client, generous budget):
     nohup python tools/bench_spill_merge.py > /tmp/bench_spill_merge.log 2>&1 &
@@ -88,24 +87,26 @@ def main():
 
     @jax.jit
     def exact_path(mw0, mw1, sw0, sw1):
+        # The production formulation: (m + sc)-slot received runs,
+        # sentinel-padded to 2m, one merge (pipeline._range_exchange_merge).
         T = mw0.shape[0]
-        merged = merge_ops.merge_sorted_runs([mw0, mw1], 2, T // S)
-        # Spill fold = one extra top-level merge level (the production
-        # formulation, parallel/pipeline._range_exchange_merge).
-        ss = jax.lax.sort([sw0, sw1], num_keys=2)
-        pad = T - sw0.shape[0]
+        m_run = T // S
         full = jnp.uint32(0xFFFFFFFF)
-        flat = [
-            jnp.concatenate(
-                [mw, sw, jnp.full((pad,), full, jnp.uint32)]
-            )
-            for mw, sw in zip(merged, ss)
-        ]
-        merged2 = merge_ops.merge_sorted_runs(flat, 2, T)
-        svalid = merged2[0] != full
-        head, cnt = count_ops.run_length_count(svalid, merged2)
+        scn = sw0.shape[0] // S
+
+        def pad_runs(main, tail, fillv):
+            rows_m = main.reshape(S, m_run)
+            rows_t = tail.reshape(S, scn)
+            fill = jnp.full((S, m_run - scn), fillv, jnp.uint32)
+            return jnp.concatenate([rows_m, rows_t, fill], 1).reshape(-1)
+
+        lw0 = pad_runs(mw0, sw0, full)
+        lw1 = pad_runs(mw1, sw1, full)
+        merged = merge_ops.merge_sorted_runs([lw0, lw1], 2, 2 * m_run)
+        svalid = merged[0] != full
+        head, cnt = count_ops.run_length_count(svalid, merged)
         keep = count_ops.frequency_filter(head, cnt, 1, 0xFFFF)
-        return merged2[0], cnt, keep
+        return merged[0], cnt, keep
 
     @jax.jit
     def legacy_path(lw0, lw1):
@@ -155,7 +156,7 @@ def main():
         "exact_ms": round(t_exact * 1e3, 1),
         "legacy_ms": round(t_leg * 1e3, 1),
         "legacy_over_exact": round(t_leg / t_exact, 3),
-        "fold_v1_ms_for_the_record": 1329.6,
+        "fold_v1_ms": 1329.6, "merge_fold_ms": 566.0,
     }
     with open(os.path.join(REPO, "tools", "bench_spill_merge.json"), "w") as f:
         json.dump(out, f, indent=1)
