@@ -289,6 +289,17 @@ def main(argv=None) -> int:
     # program through the axon tunnel); the repeat spans time the
     # deployment steady state with those amortized away.
     for r in range(1, args.repeat):
+        # Drop every reference to the previous pass's device buffers and
+        # give the (asynchronous) backend deallocator a beat: without
+        # this, pass 2's HBM peak lands on top of pass 1's not-yet-freed
+        # tail and OOMs (observed on the axon backend at 512Mb).
+        import gc
+
+        kmerlist = hist = None
+        gc.collect()
+        import jax as _jax
+
+        _jax.device_get(_jax.numpy.zeros(8))
         with timer.span(f"kmer_count_rep{r}"):
             kmerlist, hist = _do_count()
     log.root(f"{len(kmerlist)} filtered kmers in "

@@ -488,11 +488,22 @@ def count_reads_streaming(
                     dev_cnts.append(cnt)
                     dev_nks.append(n_kept)
                     if len(dev_words) >= group:
-                        dev_words, dev_cnts, dev_nks = (
-                            _consolidate_device_runs(
-                                dev_words, dev_cnts, cfg, target
+                        try:
+                            dev_words, dev_cnts, dev_nks = (
+                                _consolidate_device_runs(
+                                    dev_words, dev_cnts, cfg, target
+                                )
                             )
-                        )
+                        except jax.errors.JaxRuntimeError as e:
+                            # The held runs were already released into the
+                            # merge, so there is nothing left to drain —
+                            # fail with remediation instead of a bare OOM.
+                            raise RuntimeError(
+                                "device-resident consolidation ran out of "
+                                "HBM; lower --stream-batch-bases or set "
+                                "HYSORTK_DEVICE_RESIDENT_GROUP=2 (or 0 to "
+                                "disable device-resident accumulation)"
+                            ) from e
                         if len(dev_words) >= group:
                             # Consolidation didn't shrink (distinct-heavy
                             # input, union ~ sum): HBM is genuinely full —
