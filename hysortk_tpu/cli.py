@@ -302,8 +302,13 @@ def main(argv=None) -> int:
         _jax.device_get(_jax.numpy.zeros(8))
         with timer.span(f"kmer_count_rep{r}"):
             kmerlist, hist = _do_count()
+    # With --repeat, report the LAST completed span (the steady-state time
+    # the flag exists to measure), not the compile/load-dominated pass 0.
+    last_span = (
+        f"kmer_count_rep{args.repeat - 1}" if args.repeat > 1 else "kmer_count"
+    )
     log.root(f"{len(kmerlist)} filtered kmers in "
-             f"{timer.last('kmer_count'):.3f}s")
+             f"{timer.last(last_span):.3f}s ({last_span})")
 
     if args.validate:
         # Runtime sanitizer (the role ASan/UBSan builds play for the

@@ -144,6 +144,33 @@ def partition_records(
     return parts
 
 
+def read_displacements(parts: Sequence[Sequence[int]]) -> np.ndarray:
+    """Per-shard read displacements for a partition_records() result:
+    displs[s] = global id of shard s's first read; displs[n_shards] = total
+    reads. The analogue of the reference's readdispls vector
+    (fastaindex.hpp:23, built in fastaindex.cpp:102-130) — valid because
+    partition_records assigns CONTIGUOUS ranges."""
+    displs = np.zeros(len(parts) + 1, dtype=np.int64)
+    for s, idxs in enumerate(parts):
+        displs[s + 1] = displs[s] + len(idxs)
+    return displs
+
+
+def getreadowner(displs: np.ndarray, read_id) -> np.ndarray:
+    """Owner shard of global read id(s): the rank r with
+    displs[r] <= read_id < displs[r+1]. Mirrors FastaIndex::getreadowner
+    (reference fastaindex.cpp:30-50, upper_bound on readdispls); vectorized
+    so downstream consumers (ELBA-style overlappers) can map whole id
+    arrays at once."""
+    ids = np.asarray(read_id, dtype=np.int64)
+    if np.any(ids < 0) or np.any(ids >= displs[-1]):
+        raise IndexError(
+            f"read id out of range [0, {int(displs[-1])})"
+        )
+    owner = np.searchsorted(displs, ids, side="right") - 1
+    return owner if ids.shape else int(owner)
+
+
 def read_records(
     fasta_path: str, records: Sequence[FaiRecord]
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -494,21 +494,30 @@ def count_reads_streaming(
                                     dev_words, dev_cnts, cfg, target
                                 )
                             )
-                        except jax.errors.JaxRuntimeError as e:
-                            # The held runs were already released into the
-                            # merge, so there is nothing left to drain —
-                            # fail with remediation instead of a bare OOM.
-                            raise RuntimeError(
+                        except jax.errors.JaxRuntimeError:
+                            # _merge_runs_sum is NOT donated (its docstring
+                            # exists for exactly this fallback), so the held
+                            # runs survive a mid-cycle OOM: recover like the
+                            # final-merge handler below instead of aborting
+                            # the whole stream.
+                            _LOG.warning(
                                 "device-resident consolidation ran out of "
-                                "HBM; lower --stream-batch-bases or set "
-                                "HYSORTK_DEVICE_RESIDENT_GROUP=2 (or 0 to "
-                                "disable device-resident accumulation)"
-                            ) from e
-                        if len(dev_words) >= group:
-                            # Consolidation didn't shrink (distinct-heavy
-                            # input, union ~ sum): HBM is genuinely full —
-                            # drain the already-summed runs to the host
-                            # and finish there.
+                                "HBM; draining partials and continuing "
+                                "host-side"
+                            )
+                            device_resident = False
+                            _drain_device_partials()
+                            continue
+                        if len(dev_words) >= max(group - 1, 2):
+                            # Union occupies ~all held slots (distinct-heavy
+                            # input): HBM is effectively full, and at
+                            # group-1 every further batch would re-trigger a
+                            # full union-sized consolidation (O(batches x
+                            # union) device work) — drain the already-summed
+                            # runs to the host and finish there. The
+                            # max(.., 2) keeps group=2 (the test setting,
+                            # where union <= 1 run is the steady state) on
+                            # the device-resident path.
                             device_resident = False
                             _drain_device_partials()
                     continue

@@ -53,6 +53,31 @@ def test_partition_balances_bases():
     assert max(totals) <= 2 * (sum(totals) / 3)
 
 
+def test_getreadowner():
+    recs = [
+        fasta_io.FaiRecord(f"r{i}", ln, 0, 60, 61)
+        for i, ln in enumerate([100, 100, 100, 100, 400, 50, 50, 100, 100])
+    ]
+    parts = fasta_io.partition_records(recs, 3)
+    displs = fasta_io.read_displacements(parts)
+    assert displs[0] == 0 and displs[-1] == len(recs)
+    # Every read id maps back to the shard whose part contains it.
+    for s, idxs in enumerate(parts):
+        for i in idxs:
+            assert fasta_io.getreadowner(displs, i) == s
+    # Vectorized form agrees with the scalar one.
+    all_ids = np.arange(len(recs))
+    owners = fasta_io.getreadowner(displs, all_ids)
+    want = [s for s, idxs in enumerate(parts) for _ in idxs]
+    assert owners.tolist() == want
+    import pytest
+
+    with pytest.raises(IndexError):
+        fasta_io.getreadowner(displs, len(recs))
+    with pytest.raises(IndexError):
+        fasta_io.getreadowner(displs, -1)
+
+
 def test_partition_more_shards_than_records():
     recs = [fasta_io.FaiRecord("a", 10, 0, 10, 11)]
     parts = fasta_io.partition_records(recs, 4)
