@@ -343,6 +343,28 @@ def pull_prefix(
     return [np.asarray(a[:n2])[:n] for a in arrays]
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _cast_for_pull(cnt, *, dtype):
+    return cnt.astype(dtype)
+
+
+def narrow_counts(cnt, upper: int):
+    """Cast FILTERED device counts to the narrowest dtype `upper` fits
+    before the host pull: u8 for U<=255, u16 for U<=65535 (the reference's
+    own count bound, compiletime.h:21), else unchanged. Every value in the
+    kept prefix is <= upper by the frequency filter, so the cast is exact;
+    the compacted tail holds garbage either way and is never read. A
+    separate tiny jit — NOT a dtype variant of the giant compact programs —
+    so the per-process program-load tax stays paid once. At the dev
+    tunnel's ~5 MB/s D2H this turns the final pull from 12 to 10 (or 9)
+    B/row; real hosts save the same fraction of PCIe time."""
+    if upper <= 0xFF:
+        return _cast_for_pull(cnt, dtype="uint8")
+    if upper <= 0xFFFF:
+        return _cast_for_pull(cnt, dtype="uint16")
+    return cnt
+
+
 def split_occurrences(
     starts: np.ndarray, counts: np.ndarray, *arrays: np.ndarray
 ) -> list[list[np.ndarray]]:
@@ -524,7 +546,8 @@ def count_reads(
         nk = int(jax.device_get(n_kept))
         kmerlist = KmerList(
             keys=np.stack(pull_prefix(list(keys), nk), axis=-1),
-            counts=pull_prefix([cnt], nk)[0].astype(np.int32),
+            counts=pull_prefix([narrow_counts(cnt, cfg.upper)], nk)[0]
+            .astype(np.int32),
             k=cfg.k,
         )
     else:

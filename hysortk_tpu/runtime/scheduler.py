@@ -589,7 +589,7 @@ def _merge_device_resident(dev_words, dev_cnts, cfg, run_len):
     heuristic exists for) — donation would delete them and turn the
     graceful fallback into a hard crash.
     """
-    from ..pipeline import pull_prefix
+    from ..pipeline import narrow_counts, pull_prefix
 
     next_pow2 = lambda x: 1 << max(int(x) - 1, 0).bit_length()
     runs = next_pow2(len(dev_words))
@@ -619,7 +619,11 @@ def _merge_device_resident(dev_words, dev_cnts, cfg, run_len):
         nk = int(jax.device_get(n_kept))
         if nk == 0:
             continue
-        pulled = pull_prefix(list(keys_s) + [cnt_s], nk)
+        # Counts are filtered to [lower, upper] here: pull them at the
+        # narrowest width upper fits (10 B/row at u16 instead of 12).
+        pulled = pull_prefix(
+            list(keys_s) + [narrow_counts(cnt_s, upper)], nk
+        )
         out_k.append(np.stack(pulled[:-1], axis=-1))
         out_c.append(pulled[-1].astype(np.int32))
         nbytes += sum(p.nbytes for p in pulled)
@@ -719,11 +723,13 @@ def merge_partial_lists(
             sort_backend=cfg.sort_backend,
         )
         if cfg.device_compact:
-            from ..pipeline import pull_prefix
+            from ..pipeline import narrow_counts, pull_prefix
 
             keys_s, total, n_kept = out
             nk = int(jax.device_get(n_kept))
-            pulled = pull_prefix(list(keys_s) + [total], nk)
+            pulled = pull_prefix(
+                list(keys_s) + [narrow_counts(total, cfg.upper)], nk
+            )
             return (
                 np.stack(pulled[:-1], axis=-1),
                 pulled[-1].astype(np.int32),
