@@ -137,18 +137,6 @@ def main(argv=None) -> int:
             "combine with --single-device (use the default range routing "
             "there)"
         )
-    if (
-        cfg.routing == "supermer"
-        and args.stream_batch_bases
-        and (args.num_processes or 1) > 1
-        and cfg.extension
-    ):
-        p.error(
-            "--routing supermer --extension --stream-batch-bases is "
-            "single-process only (use range routing for multi-process "
-            "EXT streaming)"
-        )
-
     if args.coordinator:
         from .parallel.multihost import initialize_distributed
 
@@ -188,13 +176,26 @@ def main(argv=None) -> int:
                 # partials merged host-side (the reference's EXT-indifferent
                 # bounded round loop, src/kmerops.cpp:906-1007).
                 if jax.process_count() > 1:
-                    from .parallel.multihost import (
-                        count_fasta_multihost_ext_streaming,
-                    )
+                    if cfg.routing == "supermer":
+                        # Supermer wire with EXT {len, pos, rid} run
+                        # headers, bounded rounds across the fabric.
+                        from .parallel.supermer_route import (
+                            count_fasta_multihost_supermer_streaming,
+                        )
 
-                    kmerlist, hist = count_fasta_multihost_ext_streaming(
-                        args.fasta, cfg, args.stream_batch_bases
-                    )
+                        kmerlist, hist = (
+                            count_fasta_multihost_supermer_streaming(
+                                args.fasta, cfg, args.stream_batch_bases
+                            )
+                        )
+                    else:
+                        from .parallel.multihost import (
+                            count_fasta_multihost_ext_streaming,
+                        )
+
+                        kmerlist, hist = count_fasta_multihost_ext_streaming(
+                            args.fasta, cfg, args.stream_batch_bases
+                        )
                 elif len(devices) > 1 and not args.single_device:
                     from .parallel.pipeline import (
                         count_reads_sharded_ext_streaming,

@@ -360,8 +360,22 @@ def count_fasta_multihost_streaming(
     # Comm/compute overlap (same protocol as the single-process streaming
     # loop): up to `async_depth` batches in flight, overflow flags read at
     # FIFO settle time. Every host reads the SAME replicated flag, so the
-    # settle/retry control flow stays collective-deterministic.
-    async_depth = 4
+    # settle/retry control flow stays collective-deterministic. Depth
+    # resolves from LOCAL headroom + key width; the allgathered min keeps
+    # the window (and hence the collective schedule) identical everywhere.
+    from ..runtime.scheduler import suggest_pipe_depth
+
+    async_depth = suggest_pipe_depth(
+        n_local_dev * block, cfg.words, max_depth=4
+    )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        async_depth = int(
+            multihost_utils.process_allgather(
+                np.asarray(async_depth)
+            ).min()
+        )
     pending: list[tuple] = []
 
     def _settle(entry) -> None:

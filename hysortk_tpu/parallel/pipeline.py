@@ -836,15 +836,22 @@ def count_reads_sharded_streaming(
     cfg: KmerConfig,
     batch_bases: int = 1 << 26,
     mesh: Optional[Mesh] = None,
-    async_depth: int = 4,
+    async_depth: Optional[int] = None,
 ) -> tuple[KmerList, np.ndarray]:
     """Bounded-memory multi-device counting: peak HBM is set by batch_bases
     (plus the compacted distinct-key partials of the final merge plus
     `async_depth` in-flight batches), not by the input size. Equivalent to
     count_reads_sharded (asserted in tests); results are independent of
-    async_depth (FIFO settle).
+    async_depth (FIFO settle). async_depth=None resolves from HBM headroom
+    and key width (suggest_pipe_depth, capped at the measured-best 4) so
+    wide-key configs never OOM by configuration.
     """
-    from ..runtime.scheduler import iter_read_batches
+    from ..runtime.scheduler import iter_read_batches, suggest_pipe_depth
+
+    if async_depth is None:
+        async_depth = suggest_pipe_depth(
+            batch_bases, cfg.words, max_depth=4
+        )
 
     if cfg.extension:
         raise ValueError(

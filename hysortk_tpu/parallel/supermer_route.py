@@ -375,7 +375,7 @@ def count_reads_supermer_streaming(
     cfg: KmerConfig,
     batch_bases: int = 1 << 26,
     mesh: Optional[Mesh] = None,
-    async_depth: int = 4,
+    async_depth: Optional[int] = None,
 ):
     """Bounded-memory supermer-routed counting: device batches of
     batch_bases stream through the host dispatch + local count, UNFILTERED
@@ -416,6 +416,12 @@ def count_reads_supermer_streaming(
     num_shards = mesh.devices.size
     num_buckets = num_shards * cfg.avg_buckets_per_shard
     w = cfg.words
+    if async_depth is None:
+        from ..runtime.scheduler import suggest_pipe_depth
+
+        async_depth = suggest_pipe_depth(
+            batch_bases, cfg.words, max_depth=4
+        )
 
     partial_k: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
     partial_c: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
@@ -858,10 +864,7 @@ def count_fasta_multihost_supermer_streaming(
 
     assert cfg.routing == "supermer", cfg.routing
     if cfg.extension:
-        raise ValueError(
-            "EXT multi-process supermer streaming is not supported; use "
-            "range routing for EXT streaming across processes"
-        )
+        return _multihost_supermer_ext_streaming(fasta_path, cfg, batch_bases)
     codes, lengths = multihost.read_my_shard(fasta_path, cfg)
     mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
     num_shards = mesh.devices.size
@@ -1029,10 +1032,12 @@ def count_fasta_multihost_supermer_streaming(
     )
 
 
-def _assemble_ext(keys, cnt, keep, srid, spos, cfg, multiproc):
-    """Host assembly of EXT results (local shards under multi-process)."""
+def _assemble_ext_list(keys, cnt, keep, srid, spos, cfg, multiproc):
+    """Host assembly of an EXT result list (local shards under
+    multi-process). No histogram — per-batch streaming partials call this
+    directly so no collective runs inside the batch loop."""
     from ..pipeline import (
-        KmerListExt, compact_keys, host_histogram, split_occurrences,
+        KmerListExt, compact_keys, split_occurrences,
     )
     from . import multihost
 
@@ -1054,9 +1059,17 @@ def _assemble_ext(keys, cnt, keep, srid, spos, cfg, multiproc):
     pos_runs, rid_runs = split_occurrences(
         starts, counts, spos_np, srid_np
     )
-    result = KmerListExt(
+    return KmerListExt(
         keys=keys_np, counts=counts, k=cfg.k, pos=pos_runs, rid=rid_runs
     )
+
+
+def _assemble_ext(keys, cnt, keep, srid, spos, cfg, multiproc):
+    """Host assembly of EXT results + the global histogram."""
+    from ..pipeline import host_histogram
+    from . import multihost
+
+    result = _assemble_ext_list(keys, cnt, keep, srid, spos, cfg, multiproc)
     if multiproc:
         hist = multihost._global_histogram(result.counts, cfg.upper)
     else:
@@ -1277,3 +1290,140 @@ def _exchange_count_supermer_ext_jit(
         out_specs=(word_specs,) + (P(SHARD_AXIS),) * 4,
         check_rep=False,
     )(packed, lengths, rid0, pos0)
+
+
+def _multihost_supermer_ext_streaming(
+    fasta_path: str, cfg: KmerConfig, batch_bases: int
+):
+    """Bounded-memory EXT supermer streaming at any process count — the
+    last cell of the routing x mode x scale matrix.
+
+    Each batch ships supermer segments WITH the reference's {len, pos, rid}
+    run headers through the same all_to_all the non-EXT stream uses — the
+    reference's bounded round loop is EXT-indifferent (nothing in
+    src/kmerops.cpp:906-1007 conditions on EXTENSION) — counts UNFILTERED
+    on the owner shard, and per-batch occurrence partials merge host-side
+    under the global [L, U] (merge_ext_partials, order-free semantics).
+    Read ids are globally consistent: contiguous record partitions give
+    each host a base offset (the reference's MPI_Exscan of read counts,
+    src/kmerops.cpp:66) and each batch adds its span start. Heavy-hitter
+    classification is skipped, as in the one-shot EXT exchange: pre-counted
+    entries carry no occurrence payloads.
+    """
+    import dataclasses
+
+    from jax.sharding import NamedSharding
+    from ..io import fasta as fasta_io
+    from ..pipeline import merge_ext_partials, resolved_cfg
+    from . import dispatch, multihost
+    from . import pipeline as shard_pipeline
+
+    records = fasta_io.load_or_build_fai(fasta_path)
+    parts = fasta_io.partition_records(records, jax.process_count())
+    my_part = parts[jax.process_index()]
+    rid_offset = my_part[0] if my_part else 0
+    codes, lengths = fasta_io.read_records(
+        fasta_path, [records[i] for i in my_part]
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
+    num_shards = mesh.devices.size
+    pidx = jax.process_index()
+    n_local = len(
+        [d for d in mesh.devices.flat if d.process_index == pidx]
+    )
+    multiproc = jax.process_count() > 1
+    num_buckets = num_shards * cfg.avg_buckets_per_shard
+
+    spans = shard_pipeline.batch_spans(lengths, batch_bases)
+    nb = len(spans)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        nb = int(multihost_utils.process_allgather(np.asarray(nb)).max())
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+
+    def globalize(arr):
+        if not multiproc:
+            return jnp.asarray(arr.reshape(-1))
+        sharding = NamedSharding(mesh, P(SHARD_AXIS))
+        flat = np.ascontiguousarray(arr.reshape(-1))
+        return jax.make_array_from_process_local_data(
+            sharding, flat, (num_shards * flat.size // n_local,)
+        )
+
+    partials = []
+    assign = None
+    cfg2 = None
+    tblock, tlmax = 0, 1
+    for i in range(nb):
+        if i < len(spans):
+            s0, e0 = spans[i]
+            b_codes = codes[offsets[s0]: offsets[e0]]
+            b_lengths = lengths[s0:e0]
+            rid0_batch = rid_offset + s0
+        else:
+            # Collective padding round: other hosts still have batches.
+            b_codes = np.zeros(0, dtype=codes.dtype)
+            b_lengths = np.zeros(0, dtype=np.int64)
+            rid0_batch = 0
+        flat_codes, flat_valid = fasta_io.flatten_for_device(
+            b_codes, b_lengths, cfg.k, cfg.pad_multiple
+        )
+        dest = host_destinations(flat_codes, cfg.k, cfg.m, num_buckets)
+        if assign is None:
+            # Batch-0 bucket assignment fixes key ownership for the whole
+            # stream (same rule as the non-EXT streaming loop above).
+            sizes = np.bincount(
+                dest[flat_valid.astype(bool)], minlength=num_buckets
+            ).astype(np.int64)
+            if multiproc:
+                from jax.experimental import multihost_utils
+
+                sizes = np.asarray(
+                    multihost_utils.process_allgather(sizes).sum(axis=0),
+                    dtype=np.int64,
+                )
+            if cfg.dispatcher == "balanced":
+                assign = dispatch.balanced_assignment(sizes, num_shards)
+            else:
+                assign = dispatch.round_robin_assignment(
+                    num_buckets, num_shards
+                )
+        shard_of = assign[dest]
+
+        packed, lens, rid0, pos0, block_len, lmax = (
+            _prepare_exchange_arrays(
+                flat_codes, flat_valid, shard_of, b_lengths, rid0_batch,
+                cfg, num_shards, n_local, multiproc, ext=True,
+                min_block_len=tblock, min_lmax=tlmax,
+            )
+        )
+        tblock, tlmax = max(tblock, block_len), max(tlmax, lmax)
+        if cfg2 is None:
+            cfg2 = dataclasses.replace(
+                resolved_cfg(
+                    cfg, num_shards * block_len, extra_operands=2
+                ),
+                unfiltered=True,
+            )
+        keys, cnt, keep, srid, spos = _exchange_count_supermer_ext_jit(
+            globalize(packed), globalize(lens), globalize(rid0),
+            globalize(pos0),
+            cfg=cfg2, num_shards=num_shards, block_len=block_len,
+            lmax=lmax, mesh=mesh,
+        )
+        partials.append(
+            _assemble_ext_list(keys, cnt, keep, srid, spos, cfg, multiproc)
+        )
+
+    merged = merge_ext_partials(
+        partials, cfg.lower, cfg.upper, cfg.k, cfg.words
+    )
+    if multiproc:
+        hist = multihost._global_histogram(merged.counts, cfg.upper)
+    else:
+        from ..pipeline import host_histogram
+
+        hist = host_histogram(merged.counts, cfg.upper)
+    return merged, hist

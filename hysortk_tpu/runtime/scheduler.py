@@ -113,6 +113,31 @@ def suggest_batch_bases(cfg: KmerConfig, device=None) -> int:
     return snap_batch_to_pow2_flat(batch, cfg.pad_multiple)
 
 
+def suggest_pipe_depth(
+    batch_elems: int, words: int, device=None, max_depth: int = 8
+) -> int:
+    """How many batches may stay in flight (async dispatch) before a sync.
+
+    Each in-flight batch holds its outputs alive — W key words + count +
+    keep, ~(words + 2) x flat x 4 B — and the batch currently executing
+    needs ~3x that as sort arena. Depth therefore scales DOWN with key
+    width: K=55 (W=4) at depth 8 measured an OOM on a 16 GB chip where
+    K=31 (W=2) ran fine (round-4 ledger); this rule replaces that tribal
+    knowledge (the depth analogue of suggest_batch_bases, same
+    sort_decision lineage: reference src/kmerops.cpp:1344-1379).
+    """
+    from . import memcheck
+
+    per_batch = (words + 2) * max(batch_elems, 1) * 4
+    headroom = memcheck.hbm_headroom_bytes(device)
+    if headroom is None:
+        if jax.default_backend() == "cpu":
+            return min(2, max_depth)
+        headroom = 14 * 1024**3
+    d = int((headroom - 4 * per_batch) // per_batch)
+    return max(1, min(d, max_depth))
+
+
 def count_reads_streaming_ext(
     codes: np.ndarray,
     lengths: np.ndarray,

@@ -131,3 +131,28 @@ def test_snap_batch_to_pow2_flat():
         assert flat & (flat - 1) == 0, (batch, pad, b, flat)
     # non-pow2 pad granularity: no snap, no crash
     assert snap_batch_to_pow2_flat(70000, 3000) == 70000
+
+
+def test_suggest_pipe_depth_scales_with_width(monkeypatch):
+    """Depth shrinks as key width grows (K=55 at depth 8 OOM'd a 16 GB
+    chip; the rule replaces the manual 'use depth 3')."""
+    from hysortk_tpu.runtime import memcheck
+    from hysortk_tpu.runtime.scheduler import suggest_pipe_depth
+
+    monkeypatch.setattr(
+        memcheck, "hbm_headroom_bytes", lambda device=None: 14 * 1024**3
+    )
+    d2 = suggest_pipe_depth(1 << 26, 2)
+    d4 = suggest_pipe_depth(1 << 26, 4)
+    assert d2 == 8  # K=31 keeps the measured-best full window
+    assert 1 <= d4 < d2  # K=55 scales down instead of OOMing
+    # Tight memory never returns an invalid window.
+    monkeypatch.setattr(
+        memcheck, "hbm_headroom_bytes", lambda device=None: 1 << 28
+    )
+    assert suggest_pipe_depth(1 << 26, 4) == 1
+    # max_depth caps (the sharded streaming loops use 4).
+    monkeypatch.setattr(
+        memcheck, "hbm_headroom_bytes", lambda device=None: 14 * 1024**3
+    )
+    assert suggest_pipe_depth(1 << 20, 2, max_depth=4) == 4

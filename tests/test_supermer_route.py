@@ -365,6 +365,41 @@ def test_supermer_streaming_ext_delegates():
     assert got == {km: occ[km] for km in filt}
 
 
+def test_multihost_supermer_ext_streaming_single_process(tmp_path):
+    """EXT through the bounded supermer exchange rounds (the last routing x
+    mode x scale matrix cell): per-batch {len, pos, rid} run headers ride
+    the all_to_all, unfiltered occurrence partials merge host-side. Must
+    equal the occurrence oracle and the one-shot EXT exchange."""
+    rng = np.random.default_rng(83)
+    reads = oracle.random_reads(rng, 36, 35, 95)
+    reads = reads + reads[:14]
+    fasta = tmp_path / "smes.fa"
+    with open(fasta, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, routing="supermer",
+                     extension=True, pad_multiple=128)
+    kl, hist = supermer_route.count_fasta_multihost_supermer_streaming(
+        str(fasta), cfg, batch_bases=1000
+    )
+    occ = oracle.oracle_occurrences(reads, cfg.k)
+    filt = oracle.oracle_filtered(reads, cfg.k, cfg.lower, cfg.upper)
+    got = {
+        km.decode(): set((int(r), int(p)) for r, p in zip(rr, pp))
+        for km, rr, pp in zip(kl.decoded(), kl.rid, kl.pos)
+    }
+    assert got == {km: occ[km] for km in filt}
+    kl1, hist1 = supermer_route.count_fasta_multihost_supermer(
+        str(fasta), cfg
+    )
+    got1 = {
+        km.decode(): set((int(r), int(p)) for r, p in zip(rr, pp))
+        for km, rr, pp in zip(kl1.decoded(), kl1.rid, kl1.pos)
+    }
+    assert got == got1
+    np.testing.assert_array_equal(hist, hist1)
+
+
 def test_multihost_supermer_streaming_single_process(tmp_path):
     """count_fasta_multihost_supermer_streaming degenerates to bounded
     single-process rounds; must equal the one-shot exchange result."""

@@ -61,9 +61,12 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(run()[1][:8])
         first = time.perf_counter() - t0
-        # In-flight outputs cost (W+2) x 268 MB each at 2^26; scale the
-        # window so W=4 (K=55) fits HBM (depth 8 at W=4 OOM'd on chip).
-        depth = 8 if cfg.words <= 2 else 3
+        # In-flight outputs cost (W+2) x 268 MB each at 2^26; the depth
+        # rule scales the window down with W so K=55 never OOMs by
+        # configuration (was a manual "use 3" note).
+        from hysortk_tpu.runtime.scheduler import suggest_pipe_depth
+
+        depth = suggest_pipe_depth(codes.size, cfg.words)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

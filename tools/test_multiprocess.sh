@@ -127,6 +127,20 @@ with open(f"{tmp}/out/sms_{pid}.json", "w") as f:
     json.dump({km.decode(): int(c)
                for km, c in zip(kl_sms.decoded(), kl_sms.counts)}, f)
 
+# EXT through the bounded supermer rounds across 2 real processes (the
+# last routing x mode x scale matrix cell): run headers per batch, host
+# merge of unfiltered occurrence partials; union vs one-shot EXT at pid 0.
+kl_smes, hist_smes = supermer_route.count_fasta_multihost_supermer_streaming(
+    f"{tmp}/mp.fa", cfg_sme, batch_bases=1200
+)
+assert np.array_equal(hist_smes, hist_ext), "supermer EXT streaming hist"
+with open(f"{tmp}/out/smes_{pid}.json", "w") as f:
+    json.dump({
+        km.decode(): sorted((int(r), int(p))
+                            for r, p in zip(rr.tolist(), pp.tolist()))
+        for km, rr, pp in zip(kl_smes.decoded(), kl_smes.rid, kl_smes.pos)
+    }, f)
+
 # Density of this host's exchange stream: <= 2 bits/base + 4 B/supermer.
 flat_c, flat_v = fasta_io.flatten_for_device(
     codes_w, lengths_w, cfg_sm.k, cfg_sm.pad_multiple
@@ -200,7 +214,17 @@ if pid == 0:
         sme_union.update(part)
     got_sme = {km: [tuple(x) for x in v] for km, v in sme_union.items()}
     assert got_sme == expected_ext, (len(got_sme), len(expected_ext))
-    print(f"MULTIPROCESS OK: {len(got)} kmers (+EXT payloads +streaming +supermer exchange), 2 processes x 2 devices", flush=True)
+
+    # Supermer EXT STREAMING union must equal the one-shot EXT union too.
+    smes_union = {}
+    for p in (0, 1):
+        with open(f"{tmp}/out/smes_{p}.json") as f:
+            part = json.load(f)
+        assert not (set(part) & set(smes_union)), "kmer owned by both shards"
+        smes_union.update(part)
+    got_smes = {km: [tuple(x) for x in v] for km, v in smes_union.items()}
+    assert got_smes == expected_ext, (len(got_smes), len(expected_ext))
+    print(f"MULTIPROCESS OK: {len(got)} kmers (+EXT payloads +streaming +supermer exchange +supermer EXT rounds), 2 processes x 2 devices", flush=True)
 EOF
 }
 
