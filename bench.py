@@ -107,12 +107,21 @@ def child(budget_s: float) -> int:
     round; the parent keeps the latest. Never runs past `budget_s`.
     """
     deadline = time.monotonic() + budget_s
+    t_start = time.monotonic()
+
+    def note(msg):
+        # Progress breadcrumbs on stderr (the parent only parses stdout):
+        # when a driver run dies on budget, the log says WHERE.
+        print(f"bench-child +{time.monotonic() - t_start:.0f}s: {msg}",
+              file=sys.stderr, flush=True)
+
     # Keybuild-fused member sort: standalone it measures parity with the
     # unfused pair (177.5 vs 175.4 ms at 2^26), but in the full pipeline it
     # repeatedly edges it out (490.2M vs 484.8M sustained on chip) — opt in
     # here; the library default stays the unfused pair.
     os.environ.setdefault("HYSORTK_FUSED_SORT", "1")
     jax = _configure_jax()
+    note(f"jax imported, platform pending")
 
     from hysortk_tpu.config import KmerConfig
     from hysortk_tpu.pipeline import _count_device, resolved_cfg
@@ -134,6 +143,7 @@ def child(budget_s: float) -> int:
     # by even one pad block costs ~26% (measured 244.9 vs 309.4 ms).
     total_bases = (1 << 26) - 8192 if platform != "cpu" else 1 << 21
     read_len = 1024
+    note("building input")
     codes, valid = make_input(total_bases, read_len, cfg.k)
     n_kmers = int(valid.sum())
 
@@ -190,7 +200,12 @@ def child(budget_s: float) -> int:
     # Warm up (first execution includes remote compile on tunneled TPUs);
     # fetching a (tiny) result slice forces a true execution sync —
     # block_until_ready alone has proven unreliable on experimental backends.
-    jax.device_get(run()[1][:8])
+    note("warmup: tracing + compile/load")
+    warm = run()
+    note("warmup: dispatched, syncing")
+    jax.device_get(warm[1][:8])
+    del warm
+    note("warmup done; measuring")
 
     PIPE_DEPTH = 8  # batches in flight per sync (async dispatch; ~7 GB
     # of outputs alive at once, well within 16 GB HBM — measured 328M/s
@@ -204,6 +219,7 @@ def child(budget_s: float) -> int:
             state["best"], (time.perf_counter() - t0) / PIPE_DEPTH
         )
         emit()  # metric line secured after round 1; improved thereafter
+        note(f"sustained round done: best {state['best']*1e3:.1f} ms/batch")
         del outs
         if deadline - time.monotonic() < 30:
             break
