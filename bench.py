@@ -121,43 +121,15 @@ def child(budget_s: float) -> int:
     # here; the library default stays the unfused pair.
     os.environ.setdefault("HYSORTK_FUSED_SORT", "1")
     jax = _configure_jax()
-    note(f"jax imported, platform pending")
+    note("jax imported")
+
+    import dataclasses
 
     from hysortk_tpu.config import KmerConfig
     from hysortk_tpu.pipeline import _count_device, resolved_cfg
 
-    cfg = KmerConfig(k=31, m=17, lower=2, upper=50, fuse_keybuild=True,
-                     fuse_count=True, sort_backend="auto")
-
     platform = jax.devices()[0].platform
-    if platform == "cpu":
-        # Pallas kernels need interpret mode on CPU; the CPU smoke run
-        # exercises the XLA pipeline only.
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, fuse_keybuild=False, fuse_count=False, sort_backend="xla"
-        )
-    # Sized so the flattened device array lands EXACTLY on 2^26: lax.sort
-    # pads to the next power of two internally, and crossing the boundary
-    # by even one pad block costs ~26% (measured 244.9 vs 309.4 ms).
-    total_bases = (1 << 26) - 8192 if platform != "cpu" else 1 << 21
-    read_len = 1024
-    note("building input")
-    codes, valid = make_input(total_bases, read_len, cfg.k)
-    n_kmers = int(valid.sum())
-
-    codes_j = jax.device_put(jax.numpy.asarray(codes, dtype=jax.numpy.int8))
-    valid_j = jax.device_put(jax.numpy.asarray(valid))
-
-    # Resolve "auto" host-side (2^26 on a chip -> the member Pallas sort,
-    # the production decision path; small CPU runs -> lax.sort).
-    cfg = resolved_cfg(cfg, codes.size)
-
-    run = lambda: _count_device(
-        codes_j, valid_j, cfg.k, cfg.lower, cfg.upper, cfg.sort_backend,
-        cfg.fuse_keybuild, cfg.fuse_count,
-    )
+    note(f"platform {platform}")
 
     baseline = None
     baseline_path = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
@@ -166,22 +138,26 @@ def child(budget_s: float) -> int:
             base = json.load(f)
         baseline = float(base.get("kmers_per_sec") or 0) or None
 
-    state = {"best": float("inf"), "single": float("inf"), "emitted": False}
+    state = {"value": 0.0, "single": float("inf"), "single_n": 0,
+             "emitted": False, "tier": ""}
 
     def emit():
-        if not np.isfinite(state["best"]):
+        if state["value"] <= 0:
             return False
-        value = n_kmers / state["best"]
+        value = state["value"]
         line = {
             "metric": "kmers_per_sec_per_chip_k31",
             "value": round(value),
             "unit": "kmers/s",
             "vs_baseline": round(value / baseline, 3) if baseline else 1.0,
-            "methodology": "sustained: PIPE_DEPTH async batches/sync",
+            "methodology":
+                f"sustained: PIPE_DEPTH async batches/sync [{state['tier']}]",
         }
         if np.isfinite(state["single"]):
             line["single_call_s"] = round(state["single"], 4)
-            line["single_call_kmers_per_sec"] = round(n_kmers / state["single"])
+            line["single_call_kmers_per_sec"] = round(
+                state["single_n"] / state["single"]
+            )
         print(json.dumps(line), flush=True)
         state["emitted"] = True
         return True
@@ -189,6 +165,7 @@ def child(budget_s: float) -> int:
     def on_alarm(signum, frame):
         # Budget nearly gone: flush best-so-far and exit cleanly. Runs at
         # the next Python bytecode, i.e. between measurement steps.
+        note("alarm: flushing best-so-far")
         emit()
         os._exit(0 if state["emitted"] else 3)
 
@@ -197,43 +174,88 @@ def child(budget_s: float) -> int:
     if remaining > 15:
         signal.alarm(int(remaining - 10))
 
-    # Warm up (first execution includes remote compile on tunneled TPUs);
-    # fetching a (tiny) result slice forces a true execution sync —
-    # block_until_ready alone has proven unreliable on experimental backends.
-    note("warmup: tracing + compile/load")
-    warm = run()
-    note("warmup: dispatched, syncing")
-    jax.device_get(warm[1][:8])
-    del warm
-    note("warmup done; measuring")
-
-    PIPE_DEPTH = 8  # batches in flight per sync (async dispatch; ~7 GB
-    # of outputs alive at once, well within 16 GB HBM — measured 328M/s
-    # vs 318M at depth 4)
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [run() for _ in range(PIPE_DEPTH)]
-        jax.block_until_ready(outs)
-        jax.device_get(outs[-1][1][:8])
-        state["best"] = min(
-            state["best"], (time.perf_counter() - t0) / PIPE_DEPTH
+    def measure(cfg, total_bases, tier, depth, rounds, singles=0):
+        """Warm one pipeline config and run `rounds` pipelined measurements;
+        every round that improves the global best re-emits the metric line."""
+        codes, valid = make_input(total_bases, 1024, cfg.k)
+        n_kmers = int(valid.sum())
+        codes_j = jax.device_put(
+            jax.numpy.asarray(codes, dtype=jax.numpy.int8)
         )
-        emit()  # metric line secured after round 1; improved thereafter
-        note(f"sustained round done: best {state['best']*1e3:.1f} ms/batch")
-        del outs
-        if deadline - time.monotonic() < 30:
-            break
+        valid_j = jax.device_put(jax.numpy.asarray(valid))
+        run = lambda: _count_device(
+            codes_j, valid_j, cfg.k, cfg.lower, cfg.upper, cfg.sort_backend,
+            cfg.fuse_keybuild, cfg.fuse_count,
+        )
+        # Warm up (first execution includes remote compile + per-process
+        # program finalization on tunneled TPUs); fetching a (tiny) result
+        # slice forces a true execution sync — block_until_ready alone has
+        # proven unreliable on experimental backends.
+        note(f"{tier}: warmup trace/compile/load")
+        warm = run()
+        note(f"{tier}: warmup dispatched, syncing")
+        jax.device_get(warm[1][:8])
+        del warm
+        note(f"{tier}: warmup done; measuring")
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            outs = [run() for _ in range(depth)]
+            jax.block_until_ready(outs)
+            jax.device_get(outs[-1][1][:8])
+            best = min(best, (time.perf_counter() - t0) / depth)
+            del outs
+            if n_kmers / best > state["value"]:
+                state["value"] = n_kmers / best
+                state["tier"] = tier
+                emit()
+            note(f"{tier}: round done, best {best * 1e3:.1f} ms/batch "
+                 f"({n_kmers / best / 1e6:.1f} M kmers/s)")
+            if deadline - time.monotonic() < 30:
+                break
+        # Per-call latency (one batch, one sync): includes the ~50 ms
+        # host<->device round trip this backend pays per sync, which the
+        # sustained number amortizes across `depth` batches. Reported so
+        # the headline ratio carries its methodology.
+        for _ in range(singles):
+            if deadline - time.monotonic() < 20:
+                break
+            t0 = time.perf_counter()
+            jax.device_get(run()[1][:8])
+            if time.perf_counter() - t0 < state["single"]:
+                state["single"] = time.perf_counter() - t0
+                state["single_n"] = n_kmers
+        return best
 
-    # Per-call latency (one batch, one sync): includes the host<->device
-    # round trip this backend pays per sync (~50 ms tunnel RTT), which the
-    # sustained number amortizes across PIPE_DEPTH batches. Reported so the
-    # headline ratio carries its methodology (sustained vs wall).
-    for _ in range(3):
-        if deadline - time.monotonic() < 20:
-            break
-        t0 = time.perf_counter()
-        jax.device_get(run()[1][:8])
-        state["single"] = min(state["single"], time.perf_counter() - t0)
+    if platform == "cpu":
+        # CPU smoke run: Pallas kernels need interpret mode there, so this
+        # exercises the XLA pipeline only, at a token size.
+        cfg = KmerConfig(k=31, m=17, lower=2, upper=50, fuse_keybuild=False,
+                         fuse_count=False, sort_backend="xla")
+        measure(cfg, 1 << 21, "cpu-xla", depth=4, rounds=2, singles=1)
+        signal.alarm(0)
+        emit()
+        return 0 if state["emitted"] else 3
+
+    # Tier 1 — capture insurance. The production member-sort pipeline is a
+    # ~24 MB executable whose per-process trace+lowering+finalization costs
+    # 200-550 s depending on tunnel weather (rounds 3 AND 4 lost their
+    # driver capture to exactly this). The plain-XLA pipeline at 2^23 is a
+    # small program that warms in well under a minute: measure it FIRST so
+    # a metric line exists no matter what happens to tier 2.
+    cfg1 = KmerConfig(k=31, m=17, lower=2, upper=50, fuse_keybuild=False,
+                      fuse_count=False, sort_backend="xla")
+    measure(cfg1, (1 << 23) - 8192, "tier1 xla 2^23", depth=8, rounds=1)
+
+    # Tier 2 — the production configuration: fused member Pallas sort at
+    # exactly 2^26 flat (lax.sort pads to the next pow2 internally;
+    # crossing the boundary by one pad block costs ~26%, so the input is
+    # sized to land on the boundary). Overrides tier 1 on completion.
+    cfg2 = KmerConfig(k=31, m=17, lower=2, upper=50, fuse_keybuild=True,
+                      fuse_count=True, sort_backend="auto")
+    cfg2 = resolved_cfg(cfg2, (1 << 26))
+    measure(cfg2, (1 << 26) - 8192, "tier2 member 2^26", depth=8, rounds=3,
+            singles=3)
 
     signal.alarm(0)
     emit()
