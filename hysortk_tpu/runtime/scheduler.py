@@ -213,11 +213,15 @@ def _consolidation_group_size(target: int, words: int, device=None) -> int:
     Per-batch compacted partials stay in HBM; whenever `group` runs have
     accumulated, a consolidation cycle (merge + duplicate-sum + compact,
     all on device) folds them into ceil(union/run_len) runs. Transient
-    peak during the cycle ~= held runs + merge concat + merged output +
-    compaction arena ~= 3.3x the held bytes, so
-    group = headroom // (3.3 x run_len x (words+1) x 4 B), rounded down to
-    a power of two (merge program shapes stay padded-stable) and capped at
-    8. Returns 0 to disable device-resident accumulation (host pulls).
+    peak during the cycle ~= held runs (non-donated) + merge output +
+    compaction arena + chunk sort scratch ~= 4.5x the held bytes — the
+    round-4 3.3x estimate put group=4 at ~13 GB peak for 2^26 x W=2 on a
+    16 GB chip, which round 4 survived by luck and round 5 measured as a
+    mid-stream OOM at 512 Mb; 4.5x lands group=2 there (peak ~8 GB) —
+    so group = headroom // (4.5 x run_len x (words+1) x 4 B), rounded
+    down to a power of two (merge program shapes stay padded-stable) and
+    capped at 8. Returns 0 to disable device-resident accumulation (host
+    pulls).
 
     This replaces the round-3 all-or-nothing budget (hold EVERY batch,
     2.1 x n_batches x run_len), which silently fell back to per-batch
@@ -238,7 +242,7 @@ def _consolidation_group_size(target: int, words: int, device=None) -> int:
         if jax.default_backend() == "cpu":
             return 0
         headroom = 14 * 1024**3
-    g = int(headroom // int(3.3 * per_run))
+    g = int(headroom // int(4.5 * per_run))
     if g < 2:
         return 0
     return 1 << min(g.bit_length() - 1, 3)
@@ -524,12 +528,20 @@ def count_reads_streaming(
                             # exists for exactly this fallback), so the held
                             # runs survive a mid-cycle OOM: recover like the
                             # final-merge handler below instead of aborting
-                            # the whole stream.
+                            # the whole stream. The failed cycle's multi-GB
+                            # transients free ASYNCHRONOUSLY — settle the
+                            # allocator before the drain allocates its pull
+                            # copies, or the drain OOMs on the corpse
+                            # (measured at 512 Mb, round 5).
                             _LOG.warning(
                                 "device-resident consolidation ran out of "
                                 "HBM; draining partials and continuing "
                                 "host-side"
                             )
+                            import gc
+
+                            gc.collect()
+                            jax.device_get(jnp.zeros(8))
                             device_resident = False
                             _drain_device_partials()
                             continue
@@ -580,6 +592,13 @@ def count_reads_streaming(
                 "device-resident merge failed (%s); draining to host",
                 type(e).__name__,
             )
+            # Settle the allocator first: the failed merge's transients
+            # free asynchronously (same hazard as the consolidation
+            # handler above).
+            import gc
+
+            gc.collect()
+            jax.device_get(jnp.zeros(8))
             _drain_device_partials()
 
     if not partial_keys:
