@@ -60,7 +60,6 @@ def run_length_sum(
     run_length_count.
     """
     n = sorted_valid.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
     neq = jnp.zeros(n, dtype=jnp.bool_)
     for w in sorted_words:
         neq = neq | (w != jnp.roll(w, 1))
@@ -69,17 +68,21 @@ def run_length_sum(
 
     w32 = jnp.where(sorted_valid, weights.astype(jnp.int32), 0)
     prefix = jnp.cumsum(w32)  # inclusive
-    nvalid = jnp.sum(sorted_valid.astype(jnp.int32))
-    head_pos = jnp.where(head, idx, n)
-    suffix_min = jax.lax.cummin(head_pos, axis=0, reverse=True)
-    next_head = jnp.concatenate(
-        [suffix_min[1:], jnp.full((1,), n, dtype=jnp.int32)]
+    # Run sum at a head i = prefix[last slot of i's run] - prefix[i] + w[i].
+    # The last slot of each run is the position just before the next head
+    # (or n-1); invalid tail slots weigh 0, so letting the final run extend
+    # into the sentinel tail changes nothing. prefix is NONDECREASING, so a
+    # reverse cummin over (pre-head ? prefix : INT_MAX) propagates each
+    # run's closing prefix back to every slot of the run — no gather. (The
+    # previous formulation gathered prefix[run_end-1] and prefix[idx]:
+    # 2 x N-element gathers at the measured 82M elem/s = ~3.2 s of the
+    # 6.8 s _merge_runs_sum cost at 2^27, tools/diag_consolidate.py.)
+    pre_head = jnp.concatenate(
+        [head[1:], jnp.ones((1,), dtype=jnp.bool_)]
     )
-    run_end = jnp.minimum(next_head, nvalid)  # exclusive end of my run
-    # sum over [i, run_end) = prefix[run_end - 1] - prefix[i] + w32[i]
-    end_prefix = prefix[jnp.maximum(run_end - 1, 0)]
-    start_prefix = prefix[idx] - w32
-    count = jnp.where(head, end_prefix - start_prefix, 0)
+    closing = jnp.where(pre_head, prefix, jnp.int32(2**31 - 1))
+    end_prefix = jax.lax.cummin(closing, axis=0, reverse=True)
+    count = jnp.where(head, end_prefix - prefix + w32, 0)
     return head, count
 
 

@@ -197,3 +197,165 @@ def run_length_count_filter(
         cnt.reshape(n_pad)[:n],
         (keep.reshape(n_pad)[:n]).astype(jnp.bool_),
     )
+
+
+def _sum_kernel(n_words: int, block_rows: int):
+    """Weighted variant of _count_kernel: each slot contributes its weight
+    to its run's total (the consolidation/final-merge reducer — reference
+    count_sorted_kmerlist, src/kmerops.cpp:1447-1476). Same right-to-left
+    grid; the SMEM carry grows to (first-boundary-pos, suffix-sum-at-it,
+    total-weight-right-of-block)."""
+    R = block_rows
+    B = R * LANES
+
+    def kernel(*refs):
+        word_refs = refs[:n_words]
+        w_ref = refs[n_words]
+        cnt_ref, head_ref = refs[n_words + 1 : n_words + 3]
+        halo_scratch = refs[n_words + 3 : 2 * n_words + 3]
+        carry_ref = refs[2 * n_words + 3]  # SMEM (3,): pos, S_at_pos, total
+        sems = refs[2 * n_words + 4]
+
+        step = pl.program_id(0)
+        n_blocks = pl.num_programs(0)
+        b = n_blocks - 1 - step  # right to left
+
+        @pl.when(step == 0)
+        def _():
+            carry_ref[0] = n_blocks * B  # no boundary after the end
+            carry_ref[1] = 0  # suffix sum there
+            carry_ref[2] = 0  # nothing to the right yet
+
+        halo_start = jnp.maximum(b * R - 8, 0)
+        off = b * R - halo_start
+        for x in range(n_words):
+            pltpu.make_async_copy(
+                word_refs[x].at[pl.ds(halo_start, R + 8), :],
+                halo_scratch[x],
+                sems.at[x],
+            ).start()
+        for x in range(n_words):
+            pltpu.make_async_copy(
+                word_refs[x].at[pl.ds(halo_start, R + 8), :],
+                halo_scratch[x],
+                sems.at[x],
+            ).wait()
+
+        words = [s[pl.ds(off, R), :] for s in halo_scratch]
+        i_global = _logical_index(words[0].shape) + b * B
+        row0 = jax.lax.broadcasted_iota(jnp.int32, words[0].shape, 0) == 0
+        col0 = jax.lax.broadcasted_iota(jnp.int32, words[0].shape, 1) == 0
+        first_slot = row0 & col0
+
+        neq = jnp.zeros(words[0].shape, dtype=jnp.bool_)
+        for x in range(n_words):
+            w = words[x].astype(jnp.uint32)
+            prev = _shift_back(w, 1)
+            halo_last = halo_scratch[x][jnp.maximum(off - 1, 0), LANES - 1]
+            prev = jnp.where(first_slot, halo_last, prev)
+            neq = neq | (w != prev)
+        boundary = neq | (i_global == 0)
+
+        sentinel = jnp.ones(words[0].shape, dtype=jnp.bool_)
+        for x in range(n_words):
+            sentinel = sentinel & (words[x].astype(jnp.uint32) == _FULL)
+        valid = ~sentinel
+        head = boundary & valid
+
+        # Block-local inclusive suffix sum of weights, then globalize with
+        # the carried right-of-block total.
+        wts = jnp.where(valid, w_ref[:].astype(jnp.int32), 0)
+        s = wts
+        t = 1
+        while t < B:
+            s = s + _shift_fwd_fill(s, t, 0)
+            t *= 2
+        s_global = s + carry_ref[2]
+
+        # Nearest boundary strictly after i, with the suffix sum AT it:
+        # min-doubling over positions, payload selected alongside.
+        bpos = jnp.where(boundary, i_global, _INT_MAX)
+        bval = jnp.where(boundary, s_global, 0)
+        nxt_p = _shift_fwd_fill(bpos, 1, _INT_MAX)
+        nxt_v = _shift_fwd_fill(bval, 1, 0)
+        t = 1
+        while t < B:
+            cand_p = _shift_fwd_fill(nxt_p, t, _INT_MAX)
+            cand_v = _shift_fwd_fill(nxt_v, t, 0)
+            take = cand_p < nxt_p
+            nxt_p = jnp.where(take, cand_p, nxt_p)
+            nxt_v = jnp.where(take, cand_v, nxt_v)
+            t *= 2
+        from_carry = carry_ref[0] < nxt_p
+        nxt_v = jnp.where(from_carry, carry_ref[1], nxt_v)
+
+        # Run total = suffix sum at my head minus suffix sum at next head.
+        cnt = jnp.where(head, s_global - nxt_v, 0)
+        cnt_ref[:] = cnt
+        head_ref[:] = head.astype(jnp.uint32)
+
+        # Carry update: first boundary at/after this block's start (+ its
+        # suffix sum), and the new right-of-block weight total.
+        block_min = jnp.min(bpos)
+        block_min_v = jnp.max(jnp.where(bpos == block_min, bval, 0))
+        take_block = block_min < carry_ref[0]
+        carry_ref[0] = jnp.where(take_block, block_min, carry_ref[0])
+        carry_ref[1] = jnp.where(take_block, block_min_v, carry_ref[1])
+        carry_ref[2] = carry_ref[2] + jnp.sum(wts)
+
+    return kernel
+
+
+def run_length_sum_fused(
+    sorted_words: Sequence[jnp.ndarray],
+    weights: jnp.ndarray,
+    block_rows: int = 256,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sentinel-marked sorted words + per-slot weights -> (head bool,
+    total int32): each distinct key's head slot carries the sum of its
+    run's weights. One sweep over HBM; replaces the XLA formulation's
+    cumsum + reverse cummin chain, which measured 6.8 s at 2^27 inside
+    _merge_runs_sum (tools/diag_consolidate.py) vs ~0.1 s here.
+
+    The [L, U] filter stays OUTSIDE (callers pass dynamic bounds)."""
+    n_words = len(sorted_words)
+    n = sorted_words[0].shape[0]
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    arrs = []
+    for w in sorted_words:
+        w = w.astype(jnp.uint32)
+        w = jnp.concatenate(
+            [w, jnp.full((n_pad - n + 8 * LANES,), _FULL, dtype=jnp.uint32)]
+        )
+        arrs.append(w.reshape(-1, LANES))
+    wts = jnp.concatenate(
+        [weights.astype(jnp.int32), jnp.zeros((n_pad - n,), jnp.int32)]
+    ).reshape(-1, LANES)
+    n_blocks = n_pad // block
+
+    spec = pl.BlockSpec(
+        (block_rows, LANES),
+        lambda s, nb=n_blocks: (nb - 1 - s, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cnt, head = pl.pallas_call(
+        _sum_kernel(n_words, block_rows),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_words + [spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_rows + 8, LANES), jnp.uint32)
+            for _ in range(n_words)
+        ]
+        + [pltpu.SMEM((3,), jnp.int32), pltpu.SemaphoreType.DMA((n_words,))],
+        interpret=pallas_sort._INTERPRET,
+    )(*arrs, wts)
+    return (
+        (head.reshape(n_pad)[:n]).astype(jnp.bool_),
+        cnt.reshape(n_pad)[:n],
+    )

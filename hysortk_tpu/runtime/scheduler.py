@@ -274,12 +274,23 @@ def _merge_runs_sum(parts_words, parts_cnts, lower, upper, *, words,
     cflat = jnp.concatenate(ccols)
     merged = merge_ops.merge_sorted_runs(wflat + [cflat], words, run_len)
     words_s, pay = merged[:words], merged[words]
-    svalid = sort_ops.sentinel_valid(words_s)
-    head, total = count_ops.run_length_sum(
-        svalid, words_s, pay.astype(jnp.int32)
-    )
+    head, total = _run_length_sum_auto(words_s, pay)
     keep = count_ops.frequency_filter(head, total, lower, upper)
     return tuple(words_s), total, keep
+
+
+def _run_length_sum_auto(words_s, pay):
+    """Weighted run-length sum, backend-dispatched at trace time: the fused
+    Pallas sweep on TPU (one HBM pass + SMEM carry), the XLA formulation
+    elsewhere. The XLA chain measured 6.8 s of the 7.3 s steady-state
+    consolidation cycle at 2^27 (tools/diag_consolidate.py) — it was 93%
+    of what made the 512 Mb repeat pass consolidation-bound."""
+    if jax.default_backend() == "tpu":
+        from ..ops import pallas_count
+
+        return pallas_count.run_length_sum_fused(list(words_s), pay)
+    svalid = sort_ops.sentinel_valid(words_s)
+    return count_ops.run_length_sum(svalid, words_s, pay.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("sort_backend", "chunk"))
@@ -704,10 +715,7 @@ def _merge_chunk_jit():
             wlist + [cnts.reshape(-1)], words, run_len
         )
         words_s, pay = merged[:words], merged[words]
-        svalid = sort_ops.sentinel_valid(words_s)
-        head, total = count_ops.run_length_sum(
-            svalid, words_s, pay.astype(jnp.int32)
-        )
+        head, total = _run_length_sum_auto(words_s, pay)
         keep = count_ops.frequency_filter(head, total, lower, upper)
         if compact:
             # Slow-link mode: one payload sort folds dropped slots away so

@@ -95,3 +95,44 @@ def test_pipeline_with_fused_count():
     want, hist0 = count_reads(codes, lengths, cfg0)
     assert got.as_dict() == want.as_dict()
     assert np.array_equal(hist, hist0)
+
+
+@pytest.mark.parametrize("n_words", [1, 2, 3])
+@pytest.mark.parametrize("invalid_frac", [0.0, 0.3])
+def test_weighted_sum_matches_xla(n_words, invalid_frac):
+    """run_length_sum_fused == the XLA weighted formulation, including
+    sentinel tails and runs spanning block boundaries."""
+    rng = np.random.default_rng(n_words * 100 + int(invalid_frac * 10))
+    n = 1024
+    words = _make_sorted(rng, n, n_words, 60, invalid_frac)
+    weights = rng.integers(1, 9, size=n).astype(np.uint32)
+    words_j = [jnp.asarray(w) for w in words]
+    svalid = sort_ops.sentinel_valid(words_j)
+    want_head, want_cnt = count_ops.run_length_sum(
+        svalid, words_j, jnp.asarray(weights.astype(np.int32))
+    )
+    got_head, got_cnt = pallas_count.run_length_sum_fused(
+        words_j, jnp.asarray(weights), block_rows=2
+    )
+    assert np.array_equal(np.asarray(got_head), np.asarray(want_head))
+    assert np.array_equal(np.asarray(got_cnt), np.asarray(want_cnt))
+
+
+def test_weighted_sum_run_spanning_whole_block():
+    """A single run covering entire interior blocks exercises the
+    no-boundary-in-block carry path."""
+    n = 1024
+    w0 = np.full(n, 7, np.uint32)
+    w0[:3] = 1
+    w0[-128:] = FULL  # sentinel tail
+    weights = np.arange(1, n + 1, dtype=np.uint32) % 5 + 1
+    words_j = [jnp.asarray(w0)]
+    svalid = sort_ops.sentinel_valid(words_j)
+    want_head, want_cnt = count_ops.run_length_sum(
+        svalid, words_j, jnp.asarray(weights.astype(np.int32))
+    )
+    got_head, got_cnt = pallas_count.run_length_sum_fused(
+        words_j, jnp.asarray(weights), block_rows=2
+    )
+    assert np.array_equal(np.asarray(got_head), np.asarray(want_head))
+    assert np.array_equal(np.asarray(got_cnt), np.asarray(want_cnt))
