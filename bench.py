@@ -239,12 +239,14 @@ def child(budget_s: float) -> int:
 
     # Tier 1 — capture insurance. The production member-sort pipeline is a
     # ~24 MB executable whose per-process trace+lowering+finalization costs
-    # 200-550 s depending on tunnel weather (rounds 3 AND 4 lost their
-    # driver capture to exactly this). The plain-XLA pipeline at 2^23 is a
-    # small program that warms in well under a minute: measure it FIRST so
-    # a metric line exists no matter what happens to tier 2.
-    cfg1 = KmerConfig(k=31, m=17, lower=2, upper=50, fuse_keybuild=False,
-                      fuse_count=False, sort_backend="xla")
+    # 200-1300 s depending on tunnel weather (rounds 3 AND 4 lost their
+    # driver capture to exactly this). The XLA-sort pipeline with the small
+    # fused keybuild/count kernels at 2^23 warms in well under a minute and
+    # measured the best of the small-program sweep (tools/bench_tier1.py:
+    # 389M vs 371/350/343 for unfused-2^23 / 2^24 / 2^25): measure it FIRST
+    # so a metric line exists no matter what happens to tier 2.
+    cfg1 = KmerConfig(k=31, m=17, lower=2, upper=50, fuse_keybuild=True,
+                      fuse_count=True, sort_backend="xla")
     measure(cfg1, (1 << 23) - 8192, "tier1 xla 2^23", depth=8, rounds=1)
 
     # Tier 2 — the production configuration: fused member Pallas sort at
