@@ -139,7 +139,7 @@ def child(budget_s: float) -> int:
         baseline = float(base.get("kmers_per_sec") or 0) or None
 
     state = {"value": 0.0, "single": float("inf"), "single_n": 0,
-             "emitted": False, "tier": ""}
+             "emitted": False, "tier": "", "phase": "compile"}
 
     def emit():
         if state["value"] <= 0:
@@ -159,20 +159,43 @@ def child(budget_s: float) -> int:
                 state["single_n"] / state["single"]
             )
         print(json.dumps(line), flush=True)
+        if not state["emitted"]:
+            # First metric line secured: the early-bail checkpoint no
+            # longer applies — re-arm the alarm to the final deadline.
+            rem = deadline - time.monotonic()
+            signal.alarm(max(int(rem - 10), 1) if rem > 15 else 0)
         state["emitted"] = True
         return True
 
     def on_alarm(signum, frame):
-        # Budget nearly gone: flush best-so-far and exit cleanly. Runs at
-        # the next Python bytecode, i.e. between measurement steps.
-        note("alarm: flushing best-so-far")
-        emit()
-        os._exit(0 if state["emitted"] else 3)
+        # Two roles. (1) Final deadline: flush best-so-far, exit cleanly —
+        # observed to fire even inside a blocked device_get on this
+        # backend. (2) Early checkpoint (armed at 40% of budget, before
+        # anything is measured): a first-execution SYNC that is still
+        # blocked by then is a per-process tunnel stall that never
+        # recovers (measured: 519 s on programs that ran in 1 s from the
+        # previous process) — exit 4 so the parent retries in a fresh
+        # process. A compile still in progress is real progress: never
+        # abandon it (killing mid-compile wedges the backend); re-arm for
+        # the final deadline instead.
+        if state["value"] > 0:
+            note("alarm: flushing best-so-far")
+            emit()
+            os._exit(0)
+        if state["phase"] == "sync":
+            note("alarm: warmup sync hung pre-measurement; retry me")
+            os._exit(4)
+        rem = deadline - time.monotonic()
+        if rem > 15:
+            note(f"alarm: still compiling; re-armed for final {rem:.0f}s")
+            signal.alarm(int(rem - 10))
+        else:
+            os._exit(3)
 
     signal.signal(signal.SIGALRM, on_alarm)
     remaining = deadline - time.monotonic()
     if remaining > 15:
-        signal.alarm(int(remaining - 10))
+        signal.alarm(int(min(remaining * 0.4, 180)))
 
     def measure(cfg, total_bases, tier, depth, rounds, singles=0):
         """Warm one pipeline config and run `rounds` pipelined measurements;
@@ -191,11 +214,14 @@ def child(budget_s: float) -> int:
         # program finalization on tunneled TPUs); fetching a (tiny) result
         # slice forces a true execution sync — block_until_ready alone has
         # proven unreliable on experimental backends.
+        state["phase"] = "compile"
         note(f"{tier}: warmup trace/compile/load")
         warm = run()
+        state["phase"] = "sync"
         note(f"{tier}: warmup dispatched, syncing")
         jax.device_get(warm[1][:8])
         del warm
+        state["phase"] = "measuring"
         note(f"{tier}: warmup done; measuring")
         best = float("inf")
         for _ in range(rounds):
@@ -311,46 +337,57 @@ def main() -> int:
         )
         time.sleep(min(PROBE_RETRY_PAUSE_S, max(deadline - time.monotonic(), 0)))
 
-    # Phase 2: the measurement child, with the remaining budget. It streams
-    # a metric line after every completed round; we keep the latest and
-    # print exactly one. On timeout we kill the exact PID: with a line in
-    # hand the child is past warmup (no compile in flight, safe); without
-    # one the driver's harness would kill the whole tree seconds later
-    # anyway, and exiting cleanly at least reports the state.
-    remaining = max(deadline - time.monotonic(), 60.0)
-    proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--child",
-         f"--budget={remaining - 5:.0f}"],
-        stdout=subprocess.PIPE,
-        text=True,
-    )
-    latest = None
-
-    def _drain_stdout():
-        nonlocal latest
-        for line in proc.stdout:  # ends when the child closes stdout
-            line = line.strip()
-            if line.startswith("{"):
-                latest = line
-
+    # Phase 2: the measurement child(ren). A child streams a metric line
+    # after every completed round; we keep the latest and print exactly
+    # one. A child that detects a hung warmup sync before measuring
+    # anything exits 4 (a per-process tunnel stall: the same programs run
+    # instantly from a fresh process) and is retried with the remaining
+    # budget. Kills happen only on the child's own deadline overrun +30 s
+    # grace — by then it is not compiling.
     import threading
 
-    t = threading.Thread(target=_drain_stdout, daemon=True)
-    t.start()
-    try:
-        proc.wait(timeout=remaining)
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        proc.wait(timeout=10)
-    t.join(timeout=10)
+    latest = None
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining < 70:
+            break
+        child_budget = remaining - 5
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             f"--budget={child_budget:.0f}"],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
 
-    if latest is not None:
-        print(latest, flush=True)
-        return 0
-    print(
-        f"bench: measurement child rc={proc.returncode}; no metric line",
-        file=sys.stderr,
-    )
+        def _drain_stdout(p=proc):
+            nonlocal latest
+            for line in p.stdout:  # ends when the child closes stdout
+                line = line.strip()
+                if line.startswith("{"):
+                    latest = line
+
+        t = threading.Thread(target=_drain_stdout, daemon=True)
+        t.start()
+        try:
+            proc.wait(timeout=child_budget + 30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=10)
+        t.join(timeout=10)
+        if latest is not None:
+            print(latest, flush=True)
+            return 0
+        print(
+            f"bench: child attempt {attempt} rc={proc.returncode}; "
+            f"{deadline - time.monotonic():.0f}s left",
+            file=sys.stderr,
+        )
+        if proc.returncode != 4:
+            break  # not the retryable sync-stall signature
+
+    print("bench: no metric line", file=sys.stderr)
     return 1
 
 
