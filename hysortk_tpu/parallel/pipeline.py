@@ -96,9 +96,18 @@ def range_capacity(n_local: int, num_shards: int, cfg: KmerConfig) -> int:
         return _next_pow2(
             max(int(n_local / num_shards * cfg.capacity_factor), 64)
         )
-    m = _next_pow2(max(-(-n_local // num_shards), 128))
-    sc = max(m >> 6, 64)
-    return m + sc
+    mean = max(-(-n_local // num_shards), 128)
+    # Capacity needs NO pow2 rounding of its own: each cell is a
+    # contiguous slice of one sorted segment, so any slot count works on
+    # the wire, and the receive side pads to 2 x (largest pow2 <= capacity)
+    # for the merge geometry either way. The round-4 rule rounded the MEAN
+    # up to a pow2 first, which at a mean just above a pow2 boundary
+    # shipped 2.03x n_local and merged 4x (measured: CPU-mesh @2-device
+    # weak-scaling efficiency fell 0.83 -> 0.55; tools/bench_decomposition
+    # caught it). mean + mean/64 keeps the hash-uniform overhang margin
+    # (sigma ~ sqrt(mean) << mean/64) at every mean and degenerates to the
+    # old geometry exactly when the mean is itself a power of two.
+    return mean + max(mean >> 6, 64)
 
 
 def _build_marked_mixed(codes, valid, cfg: KmerConfig):
