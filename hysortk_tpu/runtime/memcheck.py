@@ -51,8 +51,15 @@ def get_hbm_stats(device=None) -> Optional[dict]:
     """{'bytes_in_use', 'bytes_limit'} for a device, if the backend reports it."""
     import jax
 
-    dev = device or jax.devices()[0]
-    stats = getattr(dev, "memory_stats", lambda: None)()
+    # local_devices, not devices: under jax.distributed, devices()[0] is
+    # process 0's device, and memory_stats on a NON-addressable device
+    # raises (measured: killed the 2-process streaming harness when the
+    # depth rule first probed headroom on process 1).
+    dev = device or jax.local_devices()[0]
+    try:
+        stats = getattr(dev, "memory_stats", lambda: None)()
+    except Exception:
+        return None
     if not stats:
         return None
     return {
