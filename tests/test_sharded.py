@@ -88,3 +88,45 @@ def test_minimizer_routing_matches_oracle(combiner):
     got, hist = _run(reads, cfg)
     want = _expect(reads, cfg)
     assert got == want
+
+
+def test_range_capacity_tracks_mean_at_any_shape():
+    """Wire capacity must stay ~= mean + mean/64 at EVERY n_local, not just
+    pow2-snapped ones: the round-4 rule rounded the mean up to a pow2
+    first, which at a mean just above a boundary shipped 2.03x n_local and
+    merged 4x (weak-scaling efficiency 0.83 -> 0.55, SCALING_r05)."""
+    from hysortk_tpu.parallel.pipeline import range_capacity
+    from hysortk_tpu.ops import spill
+
+    cfg = KmerConfig(k=31, m=17, lower=2, upper=50)
+    for n_local in (1 << 21, (1 << 21) + 4096, int((1 << 21) * 1.5),
+                    (1 << 22) - 512, 100_000):
+        for s in (2, 8):
+            cap = range_capacity(n_local, s, cfg)
+            mean = -(-n_local // s)
+            # Margin present (hash fluctuation ~ sqrt(mean) must fit) ...
+            assert cap - mean >= max(min(mean // 64, cap - mean), 64) or \
+                cap >= mean + 4 * int(mean ** 0.5)
+            # ... but never the 2x pow2 blowup.
+            assert cap <= mean + max(mean // 64, 64), (n_local, s, cap)
+            m, sc = spill.split_capacity(cap)
+            # The receive merge geometry (2m per run) stays within ~2x mean.
+            assert 2 * m <= 4 * mean
+
+
+def test_narrow_counts_exact_roundtrip():
+    """Filtered counts cast to the narrowest dtype upper fits; values are
+    exact and the host side restores int32."""
+    from hysortk_tpu.pipeline import narrow_counts
+
+    cnt = jax.numpy.asarray(
+        np.array([1, 2, 50, 255, 65535, 0], dtype=np.uint32)
+    )
+    for upper, dtype in ((50, np.uint8), (255, np.uint8),
+                         (65535, np.uint16), (1 << 20, np.uint32)):
+        out = np.asarray(narrow_counts(cnt, upper))
+        assert out.dtype == dtype, (upper, out.dtype)
+        mask = np.asarray(cnt) <= upper
+        np.testing.assert_array_equal(
+            out.astype(np.uint32)[mask], np.asarray(cnt)[mask]
+        )
