@@ -41,6 +41,7 @@ dead, CLAUDE.md) and this module is about minimizing per-stage vector cost.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -127,12 +128,49 @@ def _pair_cex(los, his, n_words, take_min_lo):
     return new_los, new_his
 
 
+# Partner fetch formulation for non-top-bit strides: "roll" = two circular
+# rolls + iota select (Mosaic relayouts — the measured bulk of a rolled
+# stage's 0.89 ms); "mxu" = one constant xor-permutation matmul per u16
+# half on the otherwise-idle MXU. The permutation matrix is a CONSTANT
+# (this is NOT the rejected rank-sort idea, whose cost was one-hot
+# CONSTRUCTION); u16 planes keep f32 exact, Precision.HIGHEST keeps the
+# TPU matmul exact for 16-bit integers.
+_PARTNER = "mxu" if os.environ.get("HYSORTK_MXU_PARTNER", "0") == "1" \
+    else "roll"
+
+
+def _xor_perm_matrix(n: int, q: int) -> jnp.ndarray:
+    """(n, n) f32 with P[j, l] = 1 iff j ^ l == q (symmetric). Built from
+    iotas so Pallas kernels don't capture a traced constant; identical
+    subexpressions across the members of a stage CSE away."""
+    ji = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((ji ^ li) == q).astype(jnp.float32)
+
+
+def _partner2_mxu(x: jnp.ndarray, axis: int, q: int) -> jnp.ndarray:
+    # Mosaic has no u32<->f32 casts; both u16 halves fit int32 exactly.
+    lo = (x & np.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    hi = (x >> np.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+    p = _xor_perm_matrix(x.shape[axis], q)
+    dot = lambda a: (
+        jax.lax.dot(p, a, precision=jax.lax.Precision.HIGHEST)
+        if axis == 0
+        else jax.lax.dot(a, p, precision=jax.lax.Precision.HIGHEST)
+    )
+    plo = dot(lo).astype(jnp.int32).astype(jnp.uint32)
+    phi = dot(hi).astype(jnp.int32).astype(jnp.uint32)
+    return (phi << np.uint32(16)) | plo
+
+
 def _partner2(x: jnp.ndarray, axis: int, q: int) -> jnp.ndarray:
     """Value at index (coord ^ q) along `axis` of a tile."""
     if 2 * q == x.shape[axis]:
         # Top bit: a circular roll by half the axis IS the xor-swap —
         # one roll, no iota select.
         return _roll(x, q, axis)
+    if _PARTNER == "mxu":
+        return _partner2_mxu(x, axis, q)
     bit = (jax.lax.broadcasted_iota(jnp.int32, x.shape, axis) & q) != 0
     return jnp.where(bit, _roll(x, q, axis), _roll(x, -q, axis))
 

@@ -442,9 +442,17 @@ _CROSS_SCRATCH_BUDGET = 5 * 1024 * 1024
 
 def cap_fuse_bits(fuse_bits: int, block: int, n_arrays: int) -> int:
     """Largest fuse width whose cross-kernel scratch fits scoped VMEM."""
+    budget = _CROSS_SCRATCH_BUDGET
+    from . import pallas_msort
+
+    if pallas_msort._PARTNER == "mxu":
+        # The matmul partner's (128,128) permutation operands + f32 halves
+        # add ~2 MiB of kernel stack inside the fused cross+tail kernel
+        # (measured: 17.69M scoped > the 16M limit at f=3/512 rows/2 arr).
+        budget = 3 * 1024 * 1024
     while (
         fuse_bits > 1
-        and (1 << fuse_bits) * block * 4 * n_arrays > _CROSS_SCRATCH_BUDGET
+        and (1 << fuse_bits) * block * 4 * n_arrays > budget
     ):
         fuse_bits -= 1
     return fuse_bits

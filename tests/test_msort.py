@@ -68,3 +68,22 @@ def test_member_merge_runs():
         [jnp.asarray(w0)], 1, run_len, block_rows=16, formulation="member"
     )
     np.testing.assert_array_equal(np.asarray(got[0]), np.sort(w0))
+
+
+def test_member_sort_mxu_partner_matches_roll(monkeypatch):
+    """HYSORTK_MXU_PARTNER=1 fetches xor-partners via constant permutation
+    matmuls (u16 planes, exact); results must be bit-identical to the roll
+    formulation."""
+    from hysortk_tpu.ops import pallas_msort
+
+    rng = np.random.default_rng(11)
+    n = 2 * 2048
+    w0 = rng.integers(0, 2**32, n, dtype=np.uint32).astype(np.uint32)
+    w1 = rng.integers(0, 2**32, n, dtype=np.uint32).astype(np.uint32)
+    monkeypatch.setattr(pallas_msort, "_PARTNER", "mxu")
+    got, _ = pallas_sort.sort_words(
+        [jnp.asarray(w0), jnp.asarray(w1)], formulation="member"
+    )
+    order = np.lexsort((w1, w0))
+    np.testing.assert_array_equal(np.asarray(got[0]), w0[order])
+    np.testing.assert_array_equal(np.asarray(got[1]), w1[order])
